@@ -1,0 +1,210 @@
+"""ViLT continual learner and Phase II classifiers (TPU-native).
+
+Parity targets in reference ``src/modeling/vilt.py``:
+- ``ViltContinualLearner`` (vilt.py:147-367) — encoder + per-task heads with
+  forward dispatch by task type. The reference's sequential loops over images
+  (NLVR2, ``forward_multi_images`` vilt.py:263-307) and choices (VCR,
+  ``forward_multi_choice`` vilt.py:309-350) become batch-axis folds: one
+  encoder pass over (B*num_images) or (B*num_choices) sequences — identical
+  logits, full MXU utilization.
+- ``ViltForImageClassification`` (vilt.py:370-403), ``ViltForSequenceClassification``
+  (vilt.py:406-445), ``ViltForMultipleChoice`` (vilt.py:448-478) — a single
+  ``ViltClassifier`` module parameterized by head type; the mean-image
+  broadcast of the reference's ``pixel_values.expand`` becomes a batch-dim
+  broadcast of a single processed canvas.
+- Model surgery (``expand_modality_type_embeddings`` vilt.py:98-109,
+  ``reallocate_text_image`` vilt.py:57-81, freezing vilt.py:126-144) — pure
+  pytree transformations in ``climb_tpu.models.surgery`` and trainability
+  masks in ``climb_tpu.cl.freeze``.
+"""
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from climb_tpu.models.heads import ClassificationHead, MultiChoiceHead
+from climb_tpu.models.model_config import AdapterSpec, HeadSpec, ViltConfig
+from climb_tpu.models.vilt_core import ViltCore
+
+
+def _head_for(spec: HeadSpec, encoder_dim: int, dtype) -> nn.Module:
+    if spec.model_type == "multi-choice":
+        return MultiChoiceHead(dtype=dtype, name=f"head_{_safe(spec.task_key)}")
+    return ClassificationHead(
+        spec.num_labels, encoder_dim, dtype=dtype, name=f"head_{_safe(spec.task_key)}"
+    )
+
+
+def _safe(key: str) -> str:
+    return key.replace("-", "_")
+
+
+class ViltContinualLearner(nn.Module):
+    """Encoder + per-task heads; forward dispatch by (static) task key."""
+
+    cfg: ViltConfig
+    head_specs: Tuple[HeadSpec, ...]
+    adapter_spec: Optional[AdapterSpec] = None
+    adapter_tasks: Tuple[str, ...] = ()
+    active_adapter: Optional[str] = None
+
+    def setup(self):
+        self.encoder = ViltCore(
+            self.cfg,
+            adapter_spec=self.adapter_spec,
+            adapter_tasks=self.adapter_tasks,
+            active_adapter=self.active_adapter,
+            name="vilt",
+        )
+        self.heads = {
+            spec.task_key: _head_for(spec, self.cfg.hidden_size, self.cfg.compute_dtype)
+            for spec in self.head_specs
+        }
+        self._spec_by_key = {spec.task_key: spec for spec in self.head_specs}
+
+    def init_all(self, batch: dict):
+        """Initialization-only pass touching the encoder and every task head.
+
+        ``module.init(rng, batch, method=ViltContinualLearner.init_all)``
+        creates the complete parameter tree (all heads + all task adapters)
+        regardless of which task trains first — the functional analogue of the
+        reference constructing all heads up front (vilt.py:149-177).
+        """
+        _, pooled, _ = self.encoder(
+            batch["input_ids"],
+            batch["text_mask"],
+            batch["pixel_values"],
+            batch["patch_hw"],
+        )
+        outs = []
+        for spec in self.head_specs:
+            if spec.model_type == "multi-choice" or spec.num_images == 1:
+                head_in = pooled
+            else:  # image-pair tasks pool 2 encoder outputs
+                head_in = jnp.concatenate([pooled] * spec.num_images, axis=-1)
+            outs.append(self.heads[spec.task_key](head_in))
+        return outs
+
+    def __call__(self, task_key: str, batch: dict, deterministic: bool = True):
+        """Dispatch on the task's head spec. `task_key` must be static."""
+        spec = self._spec_by_key[task_key]
+        if spec.model_type == "multi-choice":
+            return self.forward_multi_choice(task_key, batch, deterministic)
+        if spec.num_images == 2:
+            return self.forward_pair(task_key, batch, deterministic)
+        return self.forward_single(task_key, batch, deterministic)
+
+    # -- single image + text (VQA, SNLI-VE; reference forward_single_image) --
+    def forward_single(self, task_key, batch, deterministic=True):
+        _, pooled, _ = self.encoder(
+            batch["input_ids"],
+            batch["text_mask"],
+            batch["pixel_values"],
+            batch["patch_hw"],
+            token_type_ids=batch.get("token_type_ids"),
+            text_embeds=batch.get("text_embeds"),
+            deterministic=deterministic,
+        )
+        return self.heads[task_key](pooled, deterministic=deterministic)
+
+    # -- image pair + text (NLVR2; reference forward_multi_images) ----------
+    def forward_pair(self, task_key, batch, deterministic=True):
+        ids, mask = batch["input_ids"], batch["text_mask"]
+        pv, phw = batch["pixel_values"], batch["patch_hw"]
+        b = ids.shape[0]
+        # Fold the 2 images into the batch axis (sample-major: s0i0, s0i1, ...)
+        # with modality-type rows 1 and 2 — one encoder pass replaces the
+        # reference's two sequential passes with image_token_type_idx=1,2.
+        ids2 = jnp.repeat(ids, 2, axis=0)
+        mask2 = jnp.repeat(mask, 2, axis=0)
+        tt = batch.get("token_type_ids")
+        tt2 = jnp.repeat(tt, 2, axis=0) if tt is not None else None
+        te = batch.get("text_embeds")
+        te2 = jnp.repeat(te, 2, axis=0) if te is not None else None
+        pv2 = pv.reshape((b * 2,) + pv.shape[2:])
+        phw2 = phw.reshape(b * 2, 2)
+        itti = jnp.tile(jnp.array([1, 2], jnp.int32), b)
+        _, pooled, _ = self.encoder(
+            ids2, mask2, pv2, phw2,
+            image_token_type_idx=itti, token_type_ids=tt2, text_embeds=te2,
+            deterministic=deterministic,
+        )
+        # (2B, D) -> (B, 2D): concat of [img0-pooled, img1-pooled] per sample,
+        # matching reference vilt.py:305 torch.cat(pooler_outputs, dim=-1).
+        pooled_pair = pooled.reshape(b, 2 * pooled.shape[-1])
+        return self.heads[task_key](pooled_pair, deterministic=deterministic)
+
+    # -- multiple choice (VCR; reference forward_multi_choice) --------------
+    def forward_multi_choice(self, task_key, batch, deterministic=True):
+        ids, mask = batch["input_ids"], batch["text_mask"]
+        pv, phw = batch["pixel_values"], batch["patch_hw"]
+        b, nc, l = ids.shape
+        ids_f = ids.reshape(b * nc, l)
+        mask_f = mask.reshape(b * nc, l)
+        tt = batch.get("token_type_ids")
+        tt_f = tt.reshape(b * nc, l) if tt is not None else None
+        te = batch.get("text_embeds")
+        te_f = te.reshape((b * nc,) + te.shape[2:]) if te is not None else None
+        # Shared image per sample, repeated across choices (reference shares
+        # pixel_values across the per-choice encoder passes, vilt.py:335-345).
+        pv_f = jnp.repeat(pv, nc, axis=0)
+        phw_f = jnp.repeat(phw, nc, axis=0)
+        _, pooled, _ = self.encoder(
+            ids_f, mask_f, pv_f, phw_f,
+            token_type_ids=tt_f, text_embeds=te_f, deterministic=deterministic,
+        )
+        scores = self.heads[task_key](pooled, deterministic=deterministic)  # (B*nc, 1)
+        return scores.reshape(b, nc)
+
+
+class ViltClassifier(nn.Module):
+    """Phase II single-head model (image cls / sequence cls / multiple choice).
+
+    - model_type='classification': forward (B,) inputs -> (B, num_labels).
+      Covers ViltForImageClassification (dummy text provided by the pipeline)
+      and ViltForSequenceClassification (mean image broadcast when
+      pixel_values has batch dim 1).
+    - model_type='multi-choice': input_ids (B, C, L), shared mean image ->
+      (B, C) choice logits.
+    """
+
+    cfg: ViltConfig
+    num_labels: int
+    model_type: str = "classification"
+
+    def setup(self):
+        self.encoder = ViltCore(self.cfg, name="vilt")
+        dtype = self.cfg.compute_dtype
+        if self.model_type == "multi-choice":
+            self.head = MultiChoiceHead(dtype=dtype, name="head")
+        else:
+            self.head = ClassificationHead(
+                self.num_labels, self.cfg.hidden_size, dtype=dtype, name="head"
+            )
+
+    def __call__(self, batch: dict, deterministic: bool = True):
+        ids, mask = batch["input_ids"], batch["text_mask"]
+        pv, phw = batch["pixel_values"], batch["patch_hw"]
+        if self.model_type == "multi-choice":
+            b, nc, l = ids.shape
+            ids = ids.reshape(b * nc, l)
+            mask = mask.reshape(b * nc, l)
+            total = b * nc
+        else:
+            total = ids.shape[0]
+        # Mean-image broadcast: a single processed canvas shared by the batch
+        # (reference pixel_values.expand, vilt.py:437-441).
+        if pv.shape[0] == 1 and total > 1:
+            pv = jnp.broadcast_to(pv, (total,) + pv.shape[1:])
+            phw = jnp.broadcast_to(phw, (total, 2))
+        _, pooled, _ = self.encoder(
+            ids, mask, pv, phw,
+            token_type_ids=batch.get("token_type_ids"),
+            text_embeds=batch.get("text_embeds"),
+            deterministic=deterministic,
+        )
+        logits = self.head(pooled, deterministic=deterministic)
+        if self.model_type == "multi-choice":
+            return logits.reshape(-1, batch["input_ids"].shape[1])
+        return logits

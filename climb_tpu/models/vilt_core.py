@@ -1,0 +1,257 @@
+"""TPU-native Flax ViLT encoder core.
+
+Functional re-design of the reference's HF ``ViltModel`` path
+(``src/modeling/vilt.py:30-124`` wraps it; internals in transformers
+``modeling_vilt.py``). Numerically equivalent to HF ViLT (golden parity test
+in ``tests/test_vilt_parity.py``) but built TPU-first:
+
+- **Static shapes**: images live on a fixed (image_height, image_width)
+  canvas; per-sample validity travels as integer ``patch_hw`` (valid patch
+  rows/cols) instead of a full pixel mask. The dynamic per-batch padding and
+  patch compaction of HF's ``visual_embed`` become a fixed patch grid +
+  attention masking — mathematically identical at the pooler output because
+  attention is permutation-equivariant and masked tokens are excluded.
+- **Conv-as-matmul** patch embedding (one MXU GEMM, ``climb_tpu.ops.patch_embed``).
+- **Per-sample position-embedding interpolation** (HF interpolates the 12x12
+  pretrained grid to each sample's valid patch dims with align_corners
+  bilinear) expressed as two small interpolation-weight matmuls, fully
+  jittable and vmapped over the batch.
+- **Stacked encoder blocks** via ``nn.scan`` (fast compile, remat-able,
+  pipeline-partitionable); attention dispatches to a fused Pallas kernel.
+- Multi-image (NLVR2) and multi-choice (VCR) forwards fold into the batch
+  axis instead of looping encoder passes (reference vilt.py:263-350).
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from climb_tpu.models.adapters import apply_task_adapters
+from climb_tpu.models.model_config import AdapterSpec, ViltConfig
+from climb_tpu.ops.attention import mask_to_bias, multi_head_attention
+from climb_tpu.ops.patch_embed import patch_grid_mask, patchify
+
+
+def _interp_weight_matrix(n_valid: jnp.ndarray, src: int, out_total: int) -> jnp.ndarray:
+    """Align-corners bilinear interpolation weights: (out_total, src).
+
+    Row i resamples a length-``src`` signal to length ``n_valid`` at output
+    index i (zero for i >= n_valid) — matching
+    ``F.interpolate(mode='bilinear', align_corners=True)`` followed by
+    right-padding, as in HF ViLT ``visual_embed``.
+    """
+    i = jnp.arange(out_total, dtype=jnp.float32)
+    denom = jnp.maximum(n_valid - 1, 1).astype(jnp.float32)
+    t = jnp.where(n_valid > 1, i * (src - 1) / denom, 0.0)
+    lo = jnp.clip(jnp.floor(t), 0, src - 1)
+    frac = t - lo
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, src - 1)
+    eye = jnp.eye(src, dtype=jnp.float32)
+    w = eye[lo_i] * (1.0 - frac)[:, None] + eye[hi_i] * frac[:, None]
+    return w * (i < n_valid)[:, None]
+
+
+def interpolate_visual_pos_embed(
+    grid: jnp.ndarray, patch_hw: jnp.ndarray, grid_h: int, grid_w: int
+) -> jnp.ndarray:
+    """Per-sample resample of the pretrained pos grid to valid patch dims.
+
+    grid: (src, src, D) pretrained spatial position embeddings.
+    patch_hw: (B, 2) int valid (rows, cols).
+    Returns (B, grid_h * grid_w, D), zero outside the valid region.
+    """
+    src = grid.shape[0]
+
+    def one(hw):
+        wh = _interp_weight_matrix(hw[0], src, grid_h)
+        ww = _interp_weight_matrix(hw[1], src, grid_w)
+        return jnp.einsum("hi,ijd,wj->hwd", wh, grid, ww)
+
+    pos = jax.vmap(one)(patch_hw)
+    b = patch_hw.shape[0]
+    return pos.reshape(b, grid_h * grid_w, grid.shape[-1])
+
+
+class ViltBlock(nn.Module):
+    """One pre-norm transformer block (HF ViltLayer semantics).
+
+    x -> LN1 -> MHA -> (+x) -> LN2 -> MLP(GELU) -> (+)
+    Optional per-task bottleneck adapters after the attention and/or MLP
+    sublayer outputs (before the residual add), per AdapterSpec.
+    """
+
+    cfg: ViltConfig
+    adapter_spec: Optional[AdapterSpec] = None
+    adapter_tasks: Tuple[str, ...] = ()
+    active_adapter: Optional[str] = None
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask_bias):
+        cfg = self.cfg
+        deterministic = self.deterministic
+        dtype = cfg.compute_dtype
+        dense = lambda feats, name: nn.Dense(feats, dtype=dtype, name=name)
+
+        # --- attention sublayer ---
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="ln1")(x)
+        b, s, d = h.shape
+        q = dense(d, "q")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = dense(d, "k")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        v = dense(d, "v")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        ctx = multi_head_attention(q, k, v, mask_bias, impl=cfg.attn_impl)
+        ctx = ctx.reshape(b, s, d)
+        attn_out = dense(d, "attn_out")(ctx)
+        attn_out = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(attn_out)
+        if self.adapter_spec is not None and self.adapter_spec.mh_adapter:
+            attn_out = apply_task_adapters(
+                self, attn_out, placement="attn", spec=self.adapter_spec,
+                adapter_tasks=self.adapter_tasks, active_adapter=self.active_adapter,
+                hidden_size=d, dtype=dtype,
+            )
+        x = x + attn_out
+
+        # --- MLP sublayer ---
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="ln2")(x)
+        mlp_in = h
+        h = dense(cfg.intermediate_size, "fc1")(h)
+        h = nn.gelu(h, approximate=False)  # HF 'gelu' is exact erf GELU
+        h = dense(d, "fc2")(h)
+        h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
+        if self.adapter_spec is not None and self.adapter_spec.output_adapter:
+            adapter_input = mlp_in if self.adapter_spec.is_parallel else h
+            delta_base = apply_task_adapters(
+                self, adapter_input, placement="mlp", spec=self.adapter_spec,
+                adapter_tasks=self.adapter_tasks, active_adapter=self.active_adapter,
+                hidden_size=d, dtype=dtype,
+            )
+            h = h + (delta_base - adapter_input) if self.adapter_spec.is_parallel else delta_base
+        x = x + h
+        return x, None
+
+
+class ViltCore(nn.Module):
+    """The full ViLT encoder: text+image embeddings -> blocks -> LN -> pooler.
+
+    Inputs (all fixed-shape device arrays):
+      input_ids        (B, L) int32  — tokenized text, right-padded
+      text_mask        (B, L) {0,1}
+      pixel_values     (B, H, W, C) float — normalized, canvas-padded images
+      patch_hw         (B, 2) int32  — valid patch (rows, cols) per sample
+      image_token_type_idx (B,) int32 or None — modality row for the image
+                       tokens (1 normally; 1/2 for NLVR2's image pairs)
+      token_type_ids   (B, L) int32 or None — BERT segment ids (default 0)
+      text_embeds      (B, L, D) or None — pre-computed text representations
+                       (the ViLT-BERT path feeds frozen BERT outputs here,
+                       reference viltbert.py:135-151)
+
+    Returns (sequence_output, pooled_output, joint_mask).
+    """
+
+    cfg: ViltConfig
+    adapter_spec: Optional[AdapterSpec] = None
+    adapter_tasks: Tuple[str, ...] = ()
+    active_adapter: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        text_mask,
+        pixel_values,
+        patch_hw,
+        image_token_type_idx=None,
+        token_type_ids=None,
+        text_embeds=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        d = cfg.hidden_size
+        dtype = cfg.compute_dtype
+        emb_init = nn.initializers.normal(cfg.initializer_range)
+        b, l = input_ids.shape
+
+        # ---- text embeddings (HF TextEmbeddings semantics) ----
+        word_emb = self.param("word_embeddings", emb_init, (cfg.vocab_size, d), jnp.float32)
+        text_pos = self.param(
+            "text_position_embeddings", emb_init, (cfg.max_text_len, d), jnp.float32
+        )
+        type_emb = self.param(
+            "token_type_embeddings", emb_init, (cfg.type_vocab_size, d), jnp.float32
+        )
+        if text_embeds is None:
+            text_embeds = jnp.take(word_emb, input_ids, axis=0)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        t = text_embeds + jnp.take(type_emb, token_type_ids, axis=0) + text_pos[None, :l, :]
+        t = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="text_layernorm")(t.astype(jnp.float32))
+        t = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(t)
+
+        # ---- visual embeddings (HF visual_embed semantics, fixed grid) ----
+        patches = patchify(pixel_values.astype(dtype), cfg.patch_size)
+        proj = nn.Dense(d, dtype=dtype, name="patch_projection")(patches)
+        vis_pos = self.param(
+            "visual_position_embeddings",
+            nn.initializers.zeros,
+            (cfg.pos_grid * cfg.pos_grid + 1, d),
+            jnp.float32,
+        )
+        pos_grid_param = vis_pos[1:].reshape(cfg.pos_grid, cfg.pos_grid, d)
+        pos = interpolate_visual_pos_embed(pos_grid_param, patch_hw, cfg.grid_h, cfg.grid_w)
+        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, d), jnp.float32)
+        cls = jnp.broadcast_to(cls_token + vis_pos[0][None, None, :], (b, 1, d))
+        img = jnp.concatenate([cls.astype(jnp.float32), proj.astype(jnp.float32) + pos], axis=1)
+        img = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(img)
+        img_mask = jnp.concatenate(
+            [jnp.ones((b, 1), jnp.float32), patch_grid_mask(patch_hw, cfg.grid_h, cfg.grid_w)],
+            axis=1,
+        )
+
+        # ---- modality-type embeddings (added after text LN, HF order) ----
+        mod_emb = self.param(
+            "modality_type_embeddings",
+            emb_init,
+            (cfg.modality_type_vocab_size, d),
+            jnp.float32,
+        )
+        if image_token_type_idx is None:
+            image_token_type_idx = jnp.ones((b,), jnp.int32)
+        t = t + mod_emb[0][None, None, :]
+        img = img + jnp.take(mod_emb, image_token_type_idx, axis=0)[:, None, :]
+
+        # ---- concat + encoder ----
+        x = jnp.concatenate([t, img], axis=1).astype(dtype)
+        joint_mask = jnp.concatenate([text_mask.astype(jnp.float32), img_mask], axis=1)
+        mask_bias = mask_to_bias(joint_mask, dtype=jnp.float32)
+
+        block_cls = ViltBlock
+        if cfg.remat:
+            block_cls = nn.remat(
+                ViltBlock,
+                prevent_cse=False,
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+        ScannedBlocks = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=cfg.num_layers,
+            in_axes=nn.broadcast,
+            metadata_params={nn.meta.PARTITION_NAME: "layers"},
+        )
+        x, _ = ScannedBlocks(
+            cfg,
+            adapter_spec=self.adapter_spec,
+            adapter_tasks=self.adapter_tasks,
+            active_adapter=self.active_adapter,
+            deterministic=deterministic,
+            name="encoder",
+        )(x, mask_bias)
+
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="final_layernorm")(x)
+        pooled = nn.Dense(d, dtype=dtype, name="pooler")(x[:, 0])
+        pooled = jnp.tanh(pooled)
+        return x, pooled, joint_mask
