@@ -1,0 +1,119 @@
+"""Experience replay (parity: reference ``src/cl_algorithms/experience_replay.py``).
+
+- After each task, ``add_task_memory_buffer`` samples ``memory_percentage``
+  of the train indices at random (only the 'random' strategy exists;
+  'random-balanced' raises NotImplementedError — reference :110-111).
+- During later tasks, every ``replay_frequency`` steps the trainer samples a
+  random *previous* task and runs one train step on a batch collated from
+  buffered indices (reference :45-67).
+- Parity quirk preserved: the replay step uses a *fresh* optimizer (zero
+  AdamW moments) each call (reference :61) — see
+  ``climb_tpu.train.train_step.make_replay_step``.
+- Buffer batch sizes mirror the per-task divisors (/2 nlvr2, /4 vcr,
+  reference :93-98).
+"""
+
+import logging
+import random
+from typing import Dict
+
+import jax
+
+from climb_tpu.data.loader import collate_from_indices
+from climb_tpu.train.optimizer import make_optimizer
+from climb_tpu.train.train_step import make_replay_step
+from climb_tpu.utils.wandb import wandb_logger
+
+logger = logging.getLogger(__name__)
+
+
+class TaskMemoryBuffer:
+    """Buffer of training-example indices usable for replay steps."""
+
+    def __init__(self, args, task_key: str, task_config: Dict, task_trainer, memory_percentage: float, sampling_strategy: str):
+        self.task_key = task_key
+        self.task_name = task_config["task_name"]
+        self.task_config = task_config
+        self.task_trainer = task_trainer
+        self.dataset = task_trainer.get_train_dataloader().dataset
+        self.batch_collate_fn = task_trainer.get_collate_fn()
+
+        if task_key == "nlvr2":
+            self.batch_size = int(args.batch_size / 2)
+        elif task_key == "vcr":
+            self.batch_size = int(args.batch_size / 4)
+        else:
+            self.batch_size = args.batch_size
+
+        self.memory_percentage = memory_percentage
+        assert self.memory_percentage < 1.0
+        self.memory_size = int(memory_percentage * len(self.dataset))
+        self.sampling_strategy = sampling_strategy
+        assert sampling_strategy in ["random"], (
+            "Only random sampling of replay memory is implemented"
+        )
+        self.memory_idxs = random.sample(range(len(self.dataset)), self.memory_size)
+        self._replay_step = None
+        logger.info(
+            "Created %s replay memory buffer with %d samples",
+            self.task_name, len(self.memory_idxs),
+        )
+
+    def __len__(self):
+        return len(self.memory_idxs)
+
+    def sample_replay_batch(self) -> Dict:
+        sampled = random.sample(self.memory_idxs, min(self.batch_size, len(self.memory_idxs)))
+        return collate_from_indices(self.dataset, sampled, self.batch_collate_fn, self.batch_size)
+
+    def replay_step_fn(self, model):
+        """Lazily-built jitted replay step (fresh optimizer per call)."""
+        if self._replay_step is None:
+            trainer = self.task_trainer
+            tx = make_optimizer(
+                model.params,
+                lr=trainer.lr,
+                total_steps=trainer.max_steps,
+                warmup_ratio=trainer.warmup_ratio,
+                weight_decay=trainer.weight_decay,
+                adam_epsilon=trainer.adam_epsilon,
+                trainable_mask=model.trainable_mask,
+            )
+            self._replay_step = make_replay_step(
+                model.module, self.task_key, trainer.loss_type, tx, model.cfg.compute_dtype
+            )
+        return self._replay_step
+
+
+class ExperienceReplayMemory:
+    def __init__(self):
+        self.memory_buffers: Dict[str, TaskMemoryBuffer] = {}
+        self.model = None  # set by the driver so replay can build step fns
+
+    def set_model(self, model):
+        self.model = model
+
+    def add_task_memory_buffer(self, args, task_key, task_config, task_trainer, memory_percentage, sampling_strategy):
+        self.memory_buffers[task_key] = TaskMemoryBuffer(
+            args, task_key, task_config, task_trainer, memory_percentage, sampling_strategy
+        )
+
+    def do_replay(self) -> bool:
+        return len(self.memory_buffers) > 0
+
+    def sample_replay_task(self) -> str:
+        return random.choice(list(self.memory_buffers.keys()))
+
+    def run_replay_step(self, params, rng):
+        """One replay step on a random previous task; returns updated params."""
+        import jax.numpy as jnp
+
+        task_key = self.sample_replay_task()
+        buf = self.memory_buffers[task_key]
+        batch = buf.sample_replay_batch()
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        model = self.model.with_params(params)
+        step = buf.replay_step_fn(model)
+        new_params, loss = step(params, batch, rng)
+        wandb_logger.log({task_key: {"loss": float(loss)}})
+        return new_params

@@ -1,0 +1,128 @@
+"""Fixed-shape host data loader with background prefetch.
+
+Replaces torch ``DataLoader`` (num_workers=2 in the reference,
+SURVEY.md section 3.1) with a thread-pool loader producing numpy batch dicts
+of *static shapes* (last partial batch padded + 'valid' mask), prefetched a
+few batches ahead so the device never waits on the host.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def pad_batch(batch: dict, target_bs: int) -> dict:
+    """Pad every leaf's leading dim to target_bs; add/extend 'valid' mask."""
+    actual = len(batch["valid"]) if "valid" in batch else None
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        n = v.shape[0]
+        if actual is None:
+            actual = n
+        if n < target_bs:
+            pad_width = [(0, target_bs - n)] + [(0, 0)] * (v.ndim - 1)
+            v = np.pad(v, pad_width)
+        out[k] = v
+    if "valid" not in out:
+        valid = np.zeros((target_bs,), np.float32)
+        valid[:actual] = 1.0
+        out["valid"] = valid
+    return out
+
+
+class DataLoader:
+    """Iterable over fixed-shape collated batches.
+
+    dataset: indexable with __len__/__getitem__ -> example dict
+    collate_fn: list[example] -> batch dict (numpy)
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate_fn: Callable,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        epoch: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _index_batches(self) -> Sequence[np.ndarray]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        return [idx[i : i + self.batch_size] for i in range(0, stop, self.batch_size) if i < stop]
+
+    def _make_batch(self, indices: np.ndarray) -> dict:
+        examples = [self.dataset[int(i)] for i in indices]
+        batch = self.collate_fn(examples)
+        return pad_batch(batch, self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._index_batches()
+        if not batches:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop_evt = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = [pool.submit(self._make_batch, b) for b in batches]
+                for fut in futures:
+                    if stop_evt.is_set():
+                        break
+                    q.put(fut.result())
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop_evt.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def collate_from_indices(dataset, indices: Sequence[int], collate_fn: Callable, batch_size: Optional[int] = None) -> dict:
+    """Build one fixed-shape batch from explicit dataset indices (used by the
+    experience-replay buffer, reference experience_replay.py:53-67)."""
+    examples = [dataset[int(i)] for i in indices]
+    batch = collate_fn(examples)
+    return pad_batch(batch, batch_size or len(examples))

@@ -1,0 +1,164 @@
+"""Synthetic in-memory datasets for every task family.
+
+The reference has no test suite and its real datasets are multi-GB downloads
+(SURVEY.md section 4); these deterministic generators produce examples with
+exactly the batch schema of the real pipelines, so trainers, CL algorithms,
+drivers, and multi-chip sharding are testable hermetically.
+"""
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class SyntheticVLDataset:
+    """Vision-language examples shaped per task.
+
+    Emits the same keys as the real VQA/NLVR2/SNLI-VE/VCR pipelines:
+      single-image cls:  input_ids (L,), text_mask, token_type_ids,
+                         pixel_values (H,W,3) u8, patch_hw (2,), labels ()
+      image-pair cls:    pixel_values (2,H,W,3), patch_hw (2,2)
+      multi-choice:      input_ids (C,L), text_mask (C,L), token_type_ids (C,L)
+      vqa:               target_scores (num_labels,) instead of labels
+    """
+
+    def __init__(
+        self,
+        size: int,
+        num_labels: int,
+        model_type: str = "classification",
+        num_images: int = 1,
+        num_choices: Optional[int] = None,
+        text_len: int = 40,
+        canvas_hw: Tuple[int, int] = (384, 640),
+        patch_size: int = 32,
+        soft_targets: bool = False,
+        seed: int = 0,
+        learnable: bool = True,
+    ):
+        self.size = size
+        self.num_labels = num_labels
+        self.model_type = model_type
+        self.num_images = num_images
+        self.num_choices = num_choices
+        self.text_len = text_len
+        self.canvas_hw = canvas_hw
+        self.patch_size = patch_size
+        self.soft_targets = soft_targets
+        self.seed = seed
+        self.learnable = learnable
+        # Per-example int labels fixed up front so low-shot class subsampling
+        # and replay behave like the real datasets.
+        rng = np.random.RandomState(seed)
+        n_classes = num_choices if model_type == "multi-choice" else num_labels
+        self.labels = rng.randint(0, max(n_classes, 1), size=(size,))
+
+    def __len__(self):
+        return self.size
+
+    def _image(self, rng, label):
+        h, w = self.canvas_hw
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        if self.learnable:
+            # Stamp a label-dependent pattern in the top-left patch so a model
+            # can actually fit the data (sanity for integration tests).
+            img[:16, :16, :] = (label * 37) % 256
+        gh, gw = h // self.patch_size, w // self.patch_size
+        patch_hw = np.array(
+            [rng.randint(1, gh + 1), rng.randint(1, gw + 1)], np.int32
+        )
+        return img, patch_hw
+
+    def __getitem__(self, i: int) -> dict:
+        rng = np.random.RandomState(self.seed * 100003 + i)
+        label = int(self.labels[i])
+        L = self.text_len
+
+        def text():
+            n = rng.randint(4, L)
+            ids = np.zeros((L,), np.int32)
+            ids[0] = 101
+            ids[1:n] = rng.randint(1000, 2000, size=(n - 1,))
+            ids[n - 1] = 102
+            mask = np.zeros((L,), np.float32)
+            mask[:n] = 1.0
+            return ids, mask
+
+        ex = {}
+        if self.model_type == "multi-choice":
+            nc = self.num_choices
+            ids, masks = zip(*[text() for _ in range(nc)])
+            ex["input_ids"] = np.stack(ids)
+            ex["text_mask"] = np.stack(masks)
+            ex["token_type_ids"] = np.zeros((nc, L), np.int32)
+        else:
+            ids, mask = text()
+            ex["input_ids"] = ids
+            ex["text_mask"] = mask
+            ex["token_type_ids"] = np.zeros((L,), np.int32)
+
+        if self.num_images == 2:
+            imgs, phws = zip(*[self._image(rng, label) for _ in range(2)])
+            ex["pixel_values"] = np.stack(imgs)
+            ex["patch_hw"] = np.stack(phws)
+        else:
+            img, phw = self._image(rng, label)
+            ex["pixel_values"] = img
+            ex["patch_hw"] = phw
+
+        if self.soft_targets:
+            scores = np.zeros((self.num_labels,), np.float32)
+            scores[label] = 1.0
+            extra = rng.randint(0, self.num_labels)
+            scores[extra] = max(scores[extra], 0.3)
+            ex["target_scores"] = scores
+        else:
+            ex["labels"] = np.int32(label)
+        return ex
+
+    # -- low-shot transforms (parity: convert_to_low_shot in each reference
+    #    dataset, e.g. vqa_dataset.py:173-187, nlvr2_dataset.py:118-134) -----
+    def convert_to_low_shot(self, percentage: Optional[float] = None, num_shots_per_class: Optional[int] = None, seed: int = 0):
+        rng = np.random.RandomState(seed)
+        if percentage is not None:
+            n = max(1, int(self.size * percentage))
+            keep = rng.choice(self.size, size=n, replace=False)
+        else:
+            keep = []
+            for c in np.unique(self.labels):
+                idx = np.where(self.labels == c)[0]
+                take = min(num_shots_per_class, len(idx))
+                keep.extend(rng.choice(idx, size=take, replace=False))
+            keep = np.asarray(keep)
+        return SubsetDataset(self, np.sort(keep))
+
+
+class SubsetDataset:
+    def __init__(self, base, indices):
+        self.base = base
+        self.indices = np.asarray(indices)
+        self.labels = getattr(base, "labels", None)
+        if self.labels is not None:
+            self.labels = self.labels[self.indices]
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.base[int(self.indices[i])]
+
+
+def make_synthetic_vl_dataset(task_key: str, task_cfg: dict, split: str, size: int, text_len: int = 40, canvas_hw=(384, 640), seed: int = 0):
+    """Synthetic stand-in for a real VL task dataset, shaped by its config."""
+    split_seed = {"train": 0, "val": 1, "dev": 1, "test": 2}.get(split, 3)
+    return SyntheticVLDataset(
+        size=size,
+        num_labels=task_cfg["num_labels"],
+        model_type=task_cfg["model_type"],
+        num_images=task_cfg.get("num_images", 1),
+        num_choices=task_cfg.get("num_choices"),
+        text_len=text_len,
+        canvas_hw=canvas_hw,
+        soft_targets=(task_key == "vqa"),
+        seed=seed * 17 + split_seed,
+    )

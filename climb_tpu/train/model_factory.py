@@ -1,0 +1,123 @@
+"""CL model construction (parity: reference ``create_vilt_continual_learner_model``
+vilt.py:516-546 and ``load_vilt_encoder`` vilt.py:481-514).
+
+Builds the Flax module + parameter tree for an upstream CL run: heads for
+every task in the sequence, modality-type expansion when NLVR2 is present
+(reference vilt.py:176-177), pretrained HF weights when available (grafted
+into the initialized tree via partial_load), sharded onto the mesh.
+"""
+
+import logging
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climb_tpu.ckpt.checkpoint import partial_load
+from climb_tpu.models import (
+    CONTINUAL_LEARNER_REGISTRY,
+    ViltConfig,
+    ViltContinualLearner,
+    head_specs_from_task_configs,
+    resolve,
+)
+from climb_tpu.parallel.mesh import make_mesh
+from climb_tpu.parallel.sharding import shard_params
+from climb_tpu.train.bundle import CLModel
+
+logger = logging.getLogger(__name__)
+
+
+def vilt_config_from_args(args, needs_three_modalities: bool) -> ViltConfig:
+    kw = dict(
+        modality_type_vocab_size=3 if needs_three_modalities else 2,
+        dtype=getattr(args, "compute_dtype", "float32"),
+        attn_impl=getattr(args, "attn_impl", "xla"),
+        remat=getattr(args, "remat", False),
+    )
+    if getattr(args, "tiny", False):
+        kw.update(
+            vocab_size=2048, hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, image_height=64, image_width=96,
+            patch_size=32, pretrain_image_size=64,
+        )
+    else:
+        kw.update(
+            image_height=getattr(args, "image_height", 384),
+            image_width=getattr(args, "image_width", 640),
+        )
+    return ViltConfig(**kw)
+
+
+def dummy_batch(cfg: ViltConfig, batch: int = 2) -> dict:
+    return {
+        "input_ids": jnp.zeros((batch, cfg.max_text_len), jnp.int32),
+        "text_mask": jnp.ones((batch, cfg.max_text_len), jnp.float32),
+        "pixel_values": jnp.zeros((batch, cfg.image_height, cfg.image_width, 3), jnp.float32),
+        "patch_hw": jnp.ones((batch, 2), jnp.int32),
+    }
+
+
+def create_cl_model(
+    args,
+    task_configs,
+    adapter_handler=None,
+    mesh=None,
+    seed: Optional[int] = None,
+) -> CLModel:
+    task_keys = list(args.ordered_cl_tasks)
+    head_specs = head_specs_from_task_configs(task_keys, task_configs)
+    needs_three = "nlvr2" in task_keys
+    cfg = vilt_config_from_args(args, needs_three)
+
+    learner_cls = resolve(CONTINUAL_LEARNER_REGISTRY, args.encoder_name)
+    module = learner_cls(cfg=cfg, head_specs=head_specs)
+
+    model = CLModel(
+        module=module, cfg=cfg, head_specs=head_specs, params=None, mesh=mesh
+    )
+    if adapter_handler is not None:
+        model = adapter_handler.add_adapters_to_model(model)
+        module = model.module
+
+    key = jax.random.PRNGKey(seed if seed is not None else getattr(args, "seed", 42))
+    variables = module.init(key, dummy_batch(cfg), method=type(module).init_all)
+    params = variables["params"]
+
+    pretrained = getattr(args, "pretrained_vilt_name", "scratch")
+    if pretrained not in ("scratch", "", None):
+        params = _graft_pretrained(params, pretrained, cfg, needs_three)
+
+    if mesh is None and getattr(args, "n_devices", 0):
+        mesh = make_mesh(n_model=getattr(args, "n_model", 1))
+    if mesh is not None:
+        params = shard_params(params, mesh)
+    return CLModel(
+        module=module, cfg=cfg, head_specs=head_specs, params=params, mesh=mesh,
+        trainable_mask=model.trainable_mask,
+    )
+
+
+def _graft_pretrained(params, pretrained: str, cfg: ViltConfig, needs_three: bool):
+    """Load HF pretrained ViLT weights into the encoder subtree."""
+    from climb_tpu.models.hf_import import load_pretrained_vilt_params
+    from climb_tpu.models.surgery import expand_modality_type_embeddings
+
+    try:
+        enc = load_pretrained_vilt_params(pretrained, cfg)
+    except Exception as e:
+        logger.warning(
+            "Could not load pretrained weights %s (%s); training from scratch",
+            pretrained, e,
+        )
+        return params
+    if needs_three:
+        enc, _ = expand_modality_type_embeddings(
+            enc, cfg.replace(modality_type_vocab_size=2)
+        )
+    merged, loaded, missing = partial_load(params["vilt"], enc)
+    logger.info("Pretrained graft: %d tensors loaded, %d kept from init", len(loaded), len(missing))
+    out = dict(params)
+    out["vilt"] = merged
+    return out

@@ -1,0 +1,90 @@
+"""Optimizer + LR schedule (parity: reference vilt.py:205-215 and
+``get_polynomial_decay_schedule_with_warmup`` usage, train_snli_ve.py:183-189).
+
+- AdamW, betas (0.9, 0.98), task-config eps, grouped weight decay excluding
+  biases and LayerNorm parameters (reference vilt.py:209-213).
+- Linear warmup over ``warmup_ratio * total_steps`` then polynomial (power=1)
+  decay to lr_end=0.
+- Trainability masks (freeze-encoder / freeze-bottom-k / adapter-only) are
+  float pytrees multiplied into the *final updates* (not just the gradients),
+  so frozen parameters receive neither gradient nor weight-decay updates.
+  Per-leaf arrays support partial freezing of nn.scan-stacked layers
+  (a (num_layers, 1, ...) mask freezes the bottom k of a stacked leaf).
+"""
+
+from typing import Optional
+
+import jax
+import optax
+
+
+def polynomial_warmup_schedule(
+    lr: float, total_steps: int, warmup_ratio: float = 0.1, lr_end: float = 0.0, power: float = 1.0
+) -> optax.Schedule:
+    warmup_steps = int(total_steps * warmup_ratio)
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr * step / jnp.maximum(warmup_steps, 1)
+        frac = 1.0 - (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1)
+        frac = jnp.clip(frac, 0.0, 1.0)
+        decay = (lr - lr_end) * frac**power + lr_end
+        return jnp.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def weight_decay_mask(params) -> dict:
+    """True where weight decay applies: everything except biases & LN scales."""
+
+    def keep(path, leaf):
+        name = getattr(path[-1], "key", getattr(path[-1], "name", str(path[-1])))
+        return name not in ("bias", "scale")
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
+def apply_update_mask(mask) -> optax.GradientTransformation:
+    """Multiply final updates by a float mask pytree (1=train, 0=frozen)."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        masked = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
+        return masked, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(
+    params,
+    lr: float,
+    total_steps: int,
+    warmup_ratio: float = 0.1,
+    weight_decay: float = 1e-2,
+    adam_epsilon: float = 1e-8,
+    b1: float = 0.9,
+    b2: float = 0.98,
+    trainable_mask: Optional[dict] = None,
+    max_grad_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    schedule = polynomial_warmup_schedule(lr, total_steps, warmup_ratio)
+    chain = []
+    if max_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(
+        optax.adamw(
+            schedule,
+            b1=b1,
+            b2=b2,
+            eps=adam_epsilon,
+            weight_decay=weight_decay,
+            mask=weight_decay_mask(params),
+        )
+    )
+    if trainable_mask is not None:
+        chain.append(apply_update_mask(trainable_mask))
+    return optax.chain(*chain)

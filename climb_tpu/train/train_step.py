@@ -1,0 +1,201 @@
+"""The one jitted train-step transform.
+
+The reference implements four near-identical trainer loops
+(train_vqa/nlvr2/snli_ve/vcr — SURVEY.md section 2.2); here a single factory
+produces the jitted step for any (task, loss type): forward -> loss
+[-> + EWC penalty] -> grad -> AdamW update, with the batch sharded over the
+'data' mesh axis and parameters per the TP rules (collectives inserted by
+XLA).
+
+Loss parity:
+- 'ce'        — cross-entropy over classification logits (NLVR2/SNLI-VE,
+                reference train_snli_ve.py:140)
+- 'vqa_bce'   — BCEWithLogits(reduction='mean') * num_labels on soft targets
+                (reference train_vqa.py:95,157) == per-example sum of
+                elementwise BCE, averaged over batch
+- 'mc_ce'     — cross-entropy over (B, num_choices) scores (reference
+                train_vcr.py)
+- 'bce_multilabel' — mean BCEWithLogits over 80-way multi-hot targets
+                (reference train_vision.py coco-cls)
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from climb_tpu.ops.image_ops import normalize_images
+
+
+class EwcRef(NamedTuple):
+    """Snapshot of a previous task: diagonal Fisher + anchor params (encoder
+    subtree), plus the penalty weight (reference ewc.py:75-87)."""
+
+    fisher: dict
+    anchor: dict
+    weight: jax.Array
+
+
+def prepare_batch(batch: dict, compute_dtype=jnp.float32) -> dict:
+    """Normalize uint8 pixels on-device; pass floats through unchanged."""
+    out = dict(batch)
+    pv = out.get("pixel_values")
+    if pv is not None and pv.dtype == jnp.uint8:
+        out["pixel_values"] = normalize_images(pv, dtype=compute_dtype)
+    return out
+
+
+def compute_loss(logits, batch, loss_type: str):
+    if loss_type == "ce":
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), batch["labels"]
+        ).mean()
+    if loss_type == "mc_ce":
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), batch["labels"]
+        ).mean()
+    if loss_type == "vqa_bce":
+        # mean-over-everything BCE * num_labels == per-example sum / batch
+        per_elem = optax.sigmoid_binary_cross_entropy(
+            logits.astype(jnp.float32), batch["target_scores"]
+        )
+        return per_elem.mean() * logits.shape[-1]
+    if loss_type == "bce_multilabel":
+        return optax.sigmoid_binary_cross_entropy(
+            logits.astype(jnp.float32), batch["labels"].astype(jnp.float32)
+        ).mean()
+    raise ValueError(f"unknown loss_type {loss_type}")
+
+
+def batch_metric(logits, batch, loss_type: str):
+    """Summed (not averaged) correctness for the batch + example count.
+
+    A 'valid' {0,1} vector in the batch masks padding examples (the pipeline
+    pads the last partial batch to keep shapes static).
+    """
+    valid = batch.get("valid")
+    if valid is None:
+        valid = jnp.ones((logits.shape[0],), jnp.float32)
+    valid = valid.astype(jnp.float32)
+    if loss_type == "vqa_bce":
+        # VQA soft score of the argmax answer (reference train_vqa.py:99-113).
+        pred = jnp.argmax(logits, axis=-1)
+        score = jnp.take_along_axis(batch["target_scores"], pred[:, None], axis=1)[:, 0]
+        return (score * valid).sum(), valid.sum()
+    if loss_type == "bce_multilabel":
+        # micro-F1 is computed host-side from the returned logits.
+        return jnp.zeros(()), valid.sum()
+    correct = (jnp.argmax(logits, axis=-1) == batch["labels"]).astype(jnp.float32)
+    return (correct * valid).sum(), valid.sum()
+
+
+def ewc_penalty(params_encoder: dict, ewc_ref: EwcRef) -> jax.Array:
+    sq = jax.tree_util.tree_map(
+        lambda f, p, a: (f * (p - a) ** 2).sum(),
+        ewc_ref.fisher,
+        params_encoder,
+        ewc_ref.anchor,
+    )
+    return ewc_ref.weight * sum(jax.tree_util.tree_leaves(sq))
+
+
+def _encoder_subtree(params: dict) -> dict:
+    # The CL model's encoder lives under 'vilt' (see ViltContinualLearner.setup).
+    return params.get("vilt", params)
+
+
+def make_forward_fn(model, task_key: Optional[str]) -> Callable:
+    """Uniform forward closure over CL models (task dispatch) and classifiers."""
+    if task_key is None:
+        return lambda params, batch, **kw: model.apply({"params": params}, batch, **kw)
+    return lambda params, batch, **kw: model.apply({"params": params}, task_key, batch, **kw)
+
+
+def make_train_step(model, task_key: Optional[str], loss_type: str, compute_dtype=jnp.float32):
+    """Build the jitted train step. Call as step(state, batch, rng[, ewc_ref])."""
+    forward = make_forward_fn(model, task_key)
+
+    def loss_fn(params, batch, rng, ewc_ref):
+        logits = forward(
+            params, batch, deterministic=False, rngs={"dropout": rng}
+        )
+        loss = compute_loss(logits, batch, loss_type)
+        penalty = jnp.zeros((), jnp.float32)
+        if ewc_ref is not None:
+            penalty = ewc_penalty(_encoder_subtree(params), ewc_ref)
+        return loss + penalty, (loss, logits)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng, ewc_ref=None):
+        batch = prepare_batch(batch, compute_dtype)
+        grads, (loss, logits) = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, rng, ewc_ref
+        )
+        new_state = state.apply_gradients(grads)
+        metric_sum, metric_count = batch_metric(logits, batch, loss_type)
+        return new_state, {
+            "loss": loss,
+            "metric_sum": metric_sum,
+            "metric_count": metric_count,
+        }
+
+    return train_step
+
+
+def make_grad_fn(model, task_key: Optional[str], loss_type: str, compute_dtype=jnp.float32):
+    """Plain loss+grad (no update) — used for EWC Fisher accumulation
+    (reference ewc.py:59-71 runs train_step without an optimizer)."""
+    forward = make_forward_fn(model, task_key)
+
+    @jax.jit
+    def grad_step(params, batch, rng):
+        batch = prepare_batch(batch, compute_dtype)
+
+        def loss_fn(p):
+            logits = forward(p, batch, deterministic=False, rngs={"dropout": rng})
+            return compute_loss(logits, batch, loss_type)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss, grads
+
+    return grad_step
+
+
+def make_replay_step(model, task_key: Optional[str], loss_type: str, tx, compute_dtype=jnp.float32):
+    """Experience-replay step with a *fresh* optimizer state every call.
+
+    Parity quirk: the reference constructs a brand-new AdamW per replay step
+    (experience_replay.py:61), i.e. zero first/second moments. Reproduced
+    here by initializing opt state inside the step (cheap: zeros).
+    """
+    forward = make_forward_fn(model, task_key)
+
+    @jax.jit
+    def replay_step(params, batch, rng):
+        batch = prepare_batch(batch, compute_dtype)
+
+        def loss_fn(p):
+            logits = forward(p, batch, deterministic=False, rngs={"dropout": rng})
+            return compute_loss(logits, batch, loss_type)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        opt_state = tx.init(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), loss
+
+    return replay_step
+
+
+def make_eval_step(model, task_key: Optional[str], loss_type: str, compute_dtype=jnp.float32):
+    forward = make_forward_fn(model, task_key)
+
+    @jax.jit
+    def eval_step(params, batch):
+        batch = prepare_batch(batch, compute_dtype)
+        logits = forward(params, batch, deterministic=True)
+        metric_sum, metric_count = batch_metric(logits, batch, loss_type)
+        return logits, metric_sum, metric_count
+
+    return eval_step

@@ -1,0 +1,271 @@
+"""Vision-language task trainers.
+
+The reference implements four copies of the same skeleton
+(train_vqa/train_nlvr2/train_snli_ve/train_vcr — SURVEY.md section 2.2);
+here ONE ``VLTaskTrainer`` parameterized by the task registry covers all
+four plus their low-shot variants, while keeping the reference's
+``TaskTrainer`` protocol (``task_trainer.py:5-14`` / ADD_NEW_TASKS.md):
+``__init__(args, task_configs, model_config, device)``, ``train(model,
+replay_memory, ewc)``, ``eval(model)``, ``eval_forgetting(model,
+model_path)``, ``get_train_dataloader()``, ``get_collate_fn()``.
+
+Skeleton parity (e.g. train_snli_ve.py:159-228): AdamW + poly-warmup
+schedule, epoch loop -> jitted train step -> optional replay step every
+``replay_frequency`` steps -> wandb log every ``log_freq``; per-epoch eval;
+best checkpoint kept (host copy instead of the reference's in-RAM
+``copy.deepcopy``).
+"""
+
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climb_tpu.data.collation import stack_collate
+from climb_tpu.data.loader import DataLoader
+from climb_tpu.data.synthetic import make_synthetic_vl_dataset
+from climb_tpu.parallel.sharding import shard_batch
+from climb_tpu.train.bundle import CLModel
+from climb_tpu.train.optimizer import make_optimizer
+from climb_tpu.train.train_state import TrainState
+from climb_tpu.train.train_step import make_eval_step, make_train_step
+from climb_tpu.utils.wandb import wandb_logger
+
+logger = logging.getLogger(__name__)
+
+LOSS_TYPES = {
+    "vqa": "vqa_bce",
+    "nlvr2": "ce",
+    "snli-ve": "ce",
+    "vcr": "mc_ce",
+}
+
+
+def batch_divisor(task_cfg: dict) -> int:
+    """Reference quirk: dataloader batch = global/2 for NLVR2 (2 images,
+    nlvr2_dataset.py:186) and /4 for VCR (4 choices, vcr_dataset.py:232)."""
+    if task_cfg.get("model_type") == "multi-choice":
+        return task_cfg.get("num_choices", 4)
+    return task_cfg.get("num_images", 1)
+
+
+class TaskTrainer:
+    """Abstract protocol (parity: reference task_trainer.py:5-14)."""
+
+    def __init__(self, args, task_configs, model_config, device=None):
+        raise NotImplementedError
+
+
+class VLTaskTrainer(TaskTrainer):
+    task_key: str = None  # set by subclasses / factory
+    low_shot: bool = False
+
+    def __init__(self, args, task_configs, model_config, device=None, task_key=None):
+        if task_key is not None:
+            self.task_key = task_key
+        self.args = args
+        self.device = device  # accepted for protocol parity; mesh used instead
+        self.task_cfg = task_configs[self.task_key]
+        self.model_config = model_config
+        self.loss_type = LOSS_TYPES[self.task_key]
+
+        tc = self.task_cfg
+        self.num_epochs = tc["num_epochs"]
+        self.lr = tc["lr"]
+        self.weight_decay = tc["weight_decay"]
+        self.adam_epsilon = tc["adam_epsilon"]
+        self.warmup_ratio = tc["warmup_ratio"]
+        self.batch_size = max(1, args.batch_size // batch_divisor(tc))
+        self.eval_epochs = None  # low-shot variants restrict eval epochs
+
+        self.rng = jax.random.PRNGKey(getattr(args, "seed", 42))
+        self._build_datasets()
+        self.max_steps = len(self.train_dataloader) * self.num_epochs
+
+    # -- data ----------------------------------------------------------------
+    def _build_datasets(self):
+        args = self.args
+        if getattr(args, "synthetic", False):
+            size = getattr(args, "synthetic_train_size", 64)
+            canvas = (
+                getattr(args, "image_height", 384),
+                getattr(args, "image_width", 640),
+            )
+            text_len = getattr(args, "max_text_len", 40)
+            self.train_dataset = make_synthetic_vl_dataset(
+                self.task_key, self.task_cfg, "train", size, text_len, canvas, args.seed
+            )
+            self.eval_dataset = make_synthetic_vl_dataset(
+                self.task_key, self.task_cfg, "val", max(8, size // 4), text_len, canvas, args.seed
+            )
+        else:
+            from climb_tpu.data.visionlanguage import build_vl_datasets
+
+            self.train_dataset, self.eval_dataset = build_vl_datasets(
+                args, self.task_key, self.task_cfg
+            )
+        if self.low_shot:
+            self._convert_low_shot()
+        self.train_dataloader = DataLoader(
+            self.train_dataset,
+            self.batch_size,
+            stack_collate,
+            shuffle=True,
+            seed=getattr(self.args, "seed", 42),
+            num_workers=getattr(self.args, "num_workers", 2),
+        )
+        self.eval_dataloader = DataLoader(
+            self.eval_dataset, self.batch_size, stack_collate, shuffle=False,
+            num_workers=getattr(self.args, "num_workers", 2),
+        )
+
+    def _convert_low_shot(self):
+        ls = self.task_cfg["low_shot_config"]
+        if ls["type"] == "percentage":
+            self.train_dataset = self.train_dataset.convert_to_low_shot(
+                percentage=ls["percentage"], seed=getattr(self.args, "seed", 42)
+            )
+        else:
+            self.train_dataset = self.train_dataset.convert_to_low_shot(
+                num_shots_per_class=ls["num_shots_per_class"],
+                seed=getattr(self.args, "seed", 42),
+            )
+        self.eval_epochs = ls["eval_epochs"]
+
+    def get_train_dataloader(self):
+        return self.train_dataloader
+
+    def get_collate_fn(self):
+        return stack_collate
+
+    def _put(self, batch, mesh):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        return batch
+
+    def _next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # -- training ------------------------------------------------------------
+    def make_tx(self, model: CLModel):
+        return make_optimizer(
+            model.params,
+            lr=self.lr,
+            total_steps=self.max_steps,
+            warmup_ratio=self.warmup_ratio,
+            weight_decay=self.weight_decay,
+            adam_epsilon=self.adam_epsilon,
+            trainable_mask=model.trainable_mask,
+        )
+
+    def train(self, model: CLModel, replay_memory=None, ewc=None):
+        """Train on this task; returns (best_score, model-with-best-params)."""
+        tx = self.make_tx(model)
+        state = TrainState.create(
+            apply_fn=model.module.apply, params=model.params, tx=tx
+        )
+        train_step = make_train_step(
+            model.module, self.task_key, self.loss_type, model.cfg.compute_dtype
+        )
+        log_freq = wandb_logger.get_log_freq()
+        replay_freq = getattr(self.args, "replay_frequency", 100)
+
+        best_score, best_params = -1.0, None
+        global_step = 0
+        for epoch in range(1, self.num_epochs + 1):
+            self.train_dataloader.set_epoch(epoch)
+            t0, seen = time.time(), 0
+            for batch in self.train_dataloader:
+                batch = self._put(batch, model.mesh)
+                ewc_ref = None
+                if ewc is not None and ewc.has_tasks():
+                    ewc_ref = ewc.sample_ref()
+                state, metrics = train_step(state, batch, self._next_rng(), ewc_ref)
+                global_step += 1
+                seen += self.batch_size
+                if replay_memory is not None and replay_memory.do_replay():
+                    if global_step % replay_freq == 0:
+                        new_params = replay_memory.run_replay_step(
+                            state.params, self._next_rng()
+                        )
+                        state = state.replace(params=new_params)
+                if global_step % log_freq == 0:
+                    wandb_logger.log(
+                        {f"{self.task_key}/loss": float(metrics["loss"])}
+                    )
+            dt = time.time() - t0
+            do_eval = self.eval_epochs is None or epoch in self.eval_epochs
+            if do_eval:
+                score = self.eval(state.params, model)
+                logger.info(
+                    "task=%s epoch %d/%d: score=%.2f (%.1f ex/s)",
+                    self.task_key, epoch, self.num_epochs, score, seen / max(dt, 1e-6),
+                )
+                wandb_logger.log({f"{self.task_key}/dev_score": score})
+                if score > best_score:
+                    best_score = score
+                    best_params = jax.device_get(state.params)
+
+        if best_params is None:  # no eval epochs hit — keep final params
+            best_params = jax.device_get(state.params)
+            best_score = self.eval(state.params, model)
+        return best_score, model.with_params(best_params)
+
+    # -- evaluation ----------------------------------------------------------
+    def eval(self, params, model: CLModel) -> float:
+        eval_step = make_eval_step(
+            model.module, self.task_key, self.loss_type, model.cfg.compute_dtype
+        )
+        total, count = 0.0, 0.0
+        for batch in self.eval_dataloader:
+            batch = self._put(batch, model.mesh)
+            _, s, c = eval_step(params, batch)
+            total += float(s)
+            count += float(c)
+        return 100.0 * total / max(count, 1.0)
+
+    def eval_forgetting(self, model: CLModel, model_path: str) -> float:
+        """Load a later-task checkpoint and evaluate this task
+        (parity: reference eval_forgetting, e.g. train_snli_ve.py:268-282)."""
+        from climb_tpu.ckpt.checkpoint import load_params
+
+        params = load_params(model_path)
+        return self.eval(params, model)
+
+
+class LowShotVLTaskTrainer(VLTaskTrainer):
+    """Low-shot variant (parity: LowShot*Trainer classes, e.g.
+    train_snli_ve.py:269-347): subsampled train set, restricted eval epochs,
+    no replay/EWC hooks."""
+
+    low_shot = True
+
+    def train(self, model: CLModel, replay_memory=None, ewc=None):
+        return super().train(model, replay_memory=None, ewc=None)
+
+
+def _variant(base, key):
+    return type(
+        f"{key.replace('-', '_').upper()}Trainer", (base,), {"task_key": key}
+    )
+
+
+TRAINER_REGISTRY = {
+    "vqa": _variant(VLTaskTrainer, "vqa"),
+    "nlvr2": _variant(VLTaskTrainer, "nlvr2"),
+    "snli-ve": _variant(VLTaskTrainer, "snli-ve"),
+    "vcr": _variant(VLTaskTrainer, "vcr"),
+    "low_shot_vqa": _variant(LowShotVLTaskTrainer, "vqa"),
+    "low_shot_nlvr2": _variant(LowShotVLTaskTrainer, "nlvr2"),
+    "low_shot_snli-ve": _variant(LowShotVLTaskTrainer, "snli-ve"),
+    "low_shot_vcr": _variant(LowShotVLTaskTrainer, "vcr"),
+}
+
+
+def get_task_trainer_class(name: str):
+    return TRAINER_REGISTRY[name]

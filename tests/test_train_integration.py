@@ -1,0 +1,105 @@
+"""Integration: the unified trainer learns synthetic tasks end-to-end on a
+tiny model (the learnable label pattern stamped into synthetic images must be
+picked up well above the random baseline)."""
+
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+
+from climb_tpu.configs import task_configs
+from climb_tpu.models import ViltContinualLearner, head_specs_from_task_configs
+from climb_tpu.train import CLModel, create_cl_model, get_task_trainer_class
+
+
+def make_args(**kw):
+    base = dict(
+        batch_size=8,
+        seed=42,
+        synthetic=True,
+        synthetic_train_size=48,
+        tiny=True,
+        num_workers=2,
+        replay_frequency=100,
+        ordered_cl_tasks=["snli-ve"],
+        encoder_name="vilt",
+        pretrained_vilt_name="scratch",
+        image_height=64,
+        image_width=96,
+    )
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+@pytest.fixture(scope="module")
+def snli_trained():
+    args = make_args()
+    model = create_cl_model(args, task_configs)
+    trainer_cls = get_task_trainer_class(task_configs["snli-ve"]["trainer"])
+    trainer = trainer_cls(args, task_configs, model_config={"encoder_dim": 64})
+    # tiny-model test regime: fewer examples need more epochs + higher lr
+    trainer.num_epochs = 16
+    trainer.lr = 3e-4
+    trainer.max_steps = len(trainer.train_dataloader) * trainer.num_epochs
+    score, model = trainer.train(model)
+    return args, trainer, score, model
+
+
+def test_snli_ve_learns(snli_trained):
+    _, _, score, _ = snli_trained
+    # random baseline 33.33 — the stamped pattern should push well past it
+    assert score > 45.0, f"synthetic SNLI-VE only reached {score}"
+
+
+def test_checkpoint_roundtrip(snli_trained, tmp_path):
+    args, trainer, score, model = snli_trained
+    from climb_tpu.ckpt import (
+        load_task_checkpoint,
+        save_task_checkpoint,
+        task_checkpoint_exists,
+    )
+
+    save_task_checkpoint(str(tmp_path), 0, "snli-ve", model.params)
+    assert task_checkpoint_exists(str(tmp_path), 0, "snli-ve")
+    restored = load_task_checkpoint(str(tmp_path), 0, "snli-ve")
+    score2 = trainer.eval(restored, model)
+    assert abs(score2 - trainer.eval(model.params, model)) < 1e-6
+
+
+def test_eval_forgetting_protocol(snli_trained, tmp_path):
+    args, trainer, score, model = snli_trained
+    from climb_tpu.ckpt import save_params
+
+    path = str(tmp_path / "model")
+    save_params(model.params, path)
+    s = trainer.eval_forgetting(model, path)
+    assert s == pytest.approx(trainer.eval(model.params, model), abs=1e-6)
+
+
+def test_nlvr2_and_vcr_steps():
+    """One train step each for the image-pair and multi-choice paths."""
+    for task in ("nlvr2", "vcr"):
+        args = make_args(ordered_cl_tasks=[task], synthetic_train_size=16)
+        model = create_cl_model(args, task_configs)
+        trainer_cls = get_task_trainer_class(task_configs[task]["trainer"])
+        trainer = trainer_cls(args, task_configs, model_config={"encoder_dim": 64})
+        trainer.num_epochs = 1
+        trainer.max_steps = len(trainer.train_dataloader)
+        score, model = trainer.train(model)
+        assert 0.0 <= score <= 100.0
+
+
+def test_vqa_soft_target_step():
+    args = make_args(ordered_cl_tasks=["vqa"], synthetic_train_size=16)
+    # shrink the label space for test speed
+    tc = {k: dict(v) for k, v in task_configs.items()}
+    tc["vqa"]["num_labels"] = 16
+    model = create_cl_model(args, tc)
+    trainer_cls = get_task_trainer_class(tc["vqa"]["trainer"])
+    trainer = trainer_cls(args, tc, model_config={"encoder_dim": 64})
+    trainer.num_epochs = 1
+    trainer.max_steps = len(trainer.train_dataloader)
+    score, model = trainer.train(model)
+    assert 0.0 <= score <= 100.0
