@@ -1,0 +1,47 @@
+"""Shared CLI plumbing: the reference's flag surface + TPU-specific flags."""
+
+import argparse
+import logging
+
+
+def setup_logging():
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        datefmt="%H:%M:%S",
+    )
+
+
+def add_common_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--output_dir", type=str, required=True,
+                        help="Directory where experiment results and checkpoints are saved.")
+    parser.add_argument("--do_wandb_logging", action="store_true",
+                        help="Log experiments in W&B.")
+    parser.add_argument("--batch_size", type=int, default=32, help="Batch size.")
+    parser.add_argument("--num_workers", type=int, default=2,
+                        help="Number of host loader workers.")
+    parser.add_argument("--seed", type=int, default=42, help="Random seed.")
+
+
+def add_tpu_args(parser: argparse.ArgumentParser):
+    """TPU-native extensions (not in the reference's flag surface)."""
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Compute dtype for the encoder.")
+    parser.add_argument("--attn_impl", type=str, default="xla",
+                        choices=["xla", "pallas"], help="Attention kernel implementation.")
+    parser.add_argument("--remat", action="store_true",
+                        help="Rematerialize encoder blocks (trade FLOPs for HBM).")
+    parser.add_argument("--n_model", type=int, default=1,
+                        help="Tensor-parallel width of the device mesh (data axis gets the rest).")
+    parser.add_argument("--use_mesh", action="store_true",
+                        help="Shard over all visible devices (DP x TP mesh).")
+    parser.add_argument("--image_height", type=int, default=384)
+    parser.add_argument("--image_width", type=int, default=640)
+    parser.add_argument("--max_text_len", type=int, default=40)
+    # Hermetic/testing extensions
+    parser.add_argument("--synthetic", action="store_true",
+                        help="Use synthetic in-memory datasets (no real data needed).")
+    parser.add_argument("--synthetic_train_size", type=int, default=64)
+    parser.add_argument("--tiny", action="store_true",
+                        help="Tiny model config (fast CI / smoke runs).")

@@ -1,0 +1,274 @@
+"""Phase I driver: upstream continual learning over a VL task sequence.
+
+Parity: reference ``src/train/train_upstream_continual_learning.py`` — same
+required flags, experiment-directory naming (:110-117), algorithm-argument
+validation (:125-138), per-task train -> checkpoint -> results.json loop with
+resume-and-skip (:216-294), ER buffer / EWC Fisher post-task hooks, and the
+transfer/forgetting evaluation phase writing eval_results.json (:296-327).
+
+Usage (synthetic smoke run):
+  python -m climb_tpu.cli.train_upstream_continual_learning \\
+    --encoder_name vilt --pretrained_model_name scratch \\
+    --ordered_cl_tasks snli-ve --cl_algorithm singletask_ft \\
+    --climb_data_dir /tmp/x --synthetic --tiny \\
+    --output_dir /tmp/out --batch_size 8 --do_train --do_eval
+"""
+
+import argparse
+import json
+import logging
+import os
+
+from climb_tpu.cli.common import add_common_args, add_tpu_args, setup_logging
+from climb_tpu.configs import (
+    ADAPTER_MAP,
+    ALLOWED_CL_ENCODERS,
+    SUPPORTED_VL_TASKS,
+    task_configs,
+    model_configs,
+    wandb_config,
+)
+from climb_tpu.utils import set_seed, wandb_logger
+
+logger = logging.getLogger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--encoder_name", default=None, type=str, required=True,
+                        choices=ALLOWED_CL_ENCODERS,
+                        help="The name of the base pretrained encoder.")
+    parser.add_argument("--pretrained_model_name", default=None, type=str, required=True,
+                        help="Name of pretrained model weights to load ('scratch' to skip).")
+    parser.add_argument("--ordered_cl_tasks", type=str, required=True,
+                        help="Ordered list of VL task keys, comma-separated.")
+    parser.add_argument("--cl_algorithm", type=str, required=True,
+                        choices=["singletask_ft", "sequential_ft", "experience_replay",
+                                 "ewc", "adapter", "freeze_encoder", "freeze_bottom_k_layers"],
+                        help="Continual Learning algorithm.")
+    parser.add_argument("--climb_data_dir", type=str, required=True,
+                        help="Directory where all the CLiMB data is stored.")
+    parser.add_argument("--do_train", action="store_true")
+    parser.add_argument("--do_eval", action="store_true")
+
+    # experience replay
+    parser.add_argument("--memory_percentage", type=float, default=0.0,
+                        help="Percentage of tasks' training samples saved into memory.")
+    parser.add_argument("--memory_sampling_strategy", type=str,
+                        choices=["random", "random-balanced"],
+                        help="Strategy for sampling memory buffer samples.")
+    parser.add_argument("--replay_frequency", type=int, default=100,
+                        help="Training steps between memory replay steps.")
+    # adapters
+    parser.add_argument("--adapter_method", choices=["vanilla"], help="Adapter algorithm.")
+    parser.add_argument("--adapter_config", choices=list(ADAPTER_MAP.keys()),
+                        help="Adapter architecture.")
+    parser.add_argument("--adapter_reduction_factor", type=int, default=0,
+                        help="Downsampling ratio for adapter layers.")
+    # ewc
+    parser.add_argument("--ewc_fisher_sample_percentage", type=float, default=0.0,
+                        help="Percentage of training samples for the Fisher matrix per task.")
+    parser.add_argument("--ewc_loss_weight", type=float, default=0.0,
+                        help="Scaling of the EWC loss.")
+    parser.add_argument("--ewc_offload_to_host", action="store_true",
+                        help="Keep EWC Fisher/snapshots in host RAM instead of HBM.")
+    # freeze bottom-k
+    parser.add_argument("--layers_to_freeze", type=int, default=0,
+                        help="Number of bottom layers to freeze.")
+
+    add_common_args(parser)
+    add_tpu_args(parser)
+    return parser
+
+
+def experiment_name_for(args) -> str:
+    name = f"{args.encoder_name}-{args.cl_algorithm}"
+    if args.cl_algorithm == "adapter":
+        name = f"{name}_{args.adapter_method}_{args.adapter_config}config"
+    elif args.cl_algorithm == "freeze_bottom_k_layers":
+        name = name.replace("_k_layers", f"{args.layers_to_freeze}layers")
+    for i, task_key in enumerate(args.ordered_cl_tasks):
+        name = f"{name}-task{i}_{task_key}"
+    return name
+
+
+def validate_algorithm_args(args):
+    if args.cl_algorithm == "singletask_ft":
+        assert len(args.ordered_cl_tasks) == 1
+    else:
+        assert len(args.ordered_cl_tasks) > 1
+    if args.cl_algorithm == "experience_replay":
+        assert args.memory_percentage > 0.0
+        assert args.replay_frequency > 0
+    if args.cl_algorithm == "adapter":
+        assert args.adapter_reduction_factor > 0
+    if args.cl_algorithm == "ewc":
+        assert args.ewc_fisher_sample_percentage > 0
+        assert args.ewc_loss_weight > 0.0
+    if args.cl_algorithm == "freeze_bottom_k_layers":
+        assert args.layers_to_freeze > 0
+    for task_key in args.ordered_cl_tasks:
+        assert task_key in SUPPORTED_VL_TASKS, f"unsupported task {task_key}"
+
+
+def main(argv=None):
+    setup_logging()
+    args = build_parser().parse_args(argv)
+    args.ordered_cl_tasks = args.ordered_cl_tasks.split(",")
+    if args.tiny:  # tiny model config implies the tiny image canvas
+        args.image_height, args.image_width = 64, 96
+
+    experiment_name = experiment_name_for(args)
+    output_dir = os.path.join(args.output_dir, experiment_name)
+    results_file = os.path.join(output_dir, "results.json")
+    os.makedirs(output_dir, exist_ok=True)
+    set_seed(args)
+    validate_algorithm_args(args)
+
+    # deferred heavy imports (jax) until after arg validation
+    import jax
+
+    from climb_tpu.ckpt import (
+        load_task_checkpoint,
+        partial_load,
+        save_task_checkpoint,
+        task_checkpoint_exists,
+    )
+    from climb_tpu.cl import (
+        EWC,
+        AdapterHandler,
+        ExperienceReplayMemory,
+        freeze_bottom_k_layers_mask,
+        freeze_encoder_mask,
+    )
+    from climb_tpu.evaluation import (
+        catastrophic_forgetting_eval,
+        upstream_knowledge_transfer_eval,
+    )
+    from climb_tpu.parallel.mesh import make_mesh
+    from climb_tpu.train import create_cl_model, get_task_trainer_class
+
+    model_config = model_configs[args.encoder_name]
+    args.visual_input_type = model_config["visual_input_type"]
+
+    mesh = None
+    if args.use_mesh and len(jax.devices()) > 1:
+        mesh = make_mesh(n_model=args.n_model)
+        logger.info("Mesh: %s", mesh)
+
+    # ---- algorithm-specific initialization ----
+    replay_memory = None
+    ewc = None
+    adapter_handler = None
+    if args.cl_algorithm == "experience_replay":
+        replay_memory = ExperienceReplayMemory()
+    elif args.cl_algorithm == "adapter":
+        adapter_handler = AdapterHandler(adapter_method=args.adapter_method, args=args)
+    elif args.cl_algorithm == "ewc":
+        ewc = EWC(args)
+
+    model = create_cl_model(args, task_configs, adapter_handler=adapter_handler, mesh=mesh)
+
+    if args.cl_algorithm == "freeze_encoder":
+        model.trainable_mask = freeze_encoder_mask(model.params)
+    elif args.cl_algorithm == "freeze_bottom_k_layers":
+        model.trainable_mask = freeze_bottom_k_layers_mask(
+            model.params, k=args.layers_to_freeze, num_layers=model.cfg.num_layers
+        )
+    if replay_memory is not None:
+        replay_memory.set_model(model)
+
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(model.params))
+    logger.info("Continual learner: %s | %d task heads (%s) | %.2fM params | algorithm=%s",
+                args.encoder_name, len(args.ordered_cl_tasks),
+                ",".join(args.ordered_cl_tasks), n_params / 1e6, args.cl_algorithm)
+
+    task_trainers = {}
+    if args.do_train:
+        if args.do_wandb_logging:
+            wandb_logger.initialize(wandb_config, experiment_name)
+
+        results = []
+        if os.path.exists(results_file):
+            with open(results_file) as f:
+                results = json.load(f)
+            for i, r in enumerate(results):
+                logger.info("Cached result — task #%d %s: best score %.2f",
+                            i + 1, r["task_key"], r["best_score"])
+
+        for task_num, task_key in enumerate(args.ordered_cl_tasks):
+            task_name = task_configs[task_key]["task_name"]
+            trainer_cls = get_task_trainer_class(task_configs[task_key]["trainer"])
+            task_trainer = trainer_cls(args, task_configs, model_config)
+
+            if task_checkpoint_exists(output_dir, task_num, task_key):
+                # resume: load checkpoint and move to the next task, with the
+                # reference's partial-load fallback (:222-240)
+                logger.info("Found checkpoint for task %s — loading and skipping", task_name)
+                ckpt = load_task_checkpoint(output_dir, task_num, task_key)
+                merged, loaded, missing = partial_load(model.params, ckpt)
+                model = model.with_params(merged)
+                if missing:
+                    save_task_checkpoint(output_dir, task_num, task_key, merged)
+            else:
+                if args.cl_algorithm == "adapter":
+                    logger.info("Activating adapters for task %s", task_name)
+                    model = adapter_handler.activate_adapter_for_training(task_key, model)
+                logger.info("Training on task #%d: %s", task_num + 1, task_name)
+                best_eval_score, model = task_trainer.train(
+                    model, replay_memory=replay_memory, ewc=ewc
+                )
+                logger.info("Best %s score = %.2f (epoch %d)",
+                            task_name, best_eval_score, task_trainer.best_epoch)
+                save_task_checkpoint(output_dir, task_num, task_key, model.params)
+                results.append({
+                    "task_num": task_num,
+                    "task_key": task_key,
+                    "best_score": best_eval_score,
+                    "best_epoch": task_trainer.best_epoch,
+                })
+                with open(results_file, "w") as f:
+                    json.dump(results, f)
+
+            task_trainers[task_key] = task_trainer
+            if args.cl_algorithm == "experience_replay":
+                replay_memory.set_model(model)
+                replay_memory.add_task_memory_buffer(
+                    args=args, task_key=task_key, task_config=task_configs[task_key],
+                    task_trainer=task_trainer,
+                    memory_percentage=args.memory_percentage,
+                    sampling_strategy=args.memory_sampling_strategy,
+                )
+            elif args.cl_algorithm == "ewc" and task_num < len(args.ordered_cl_tasks) - 1:
+                ewc.save_task_parameters(
+                    task_key=task_key, model=model, task_trainer=task_trainer,
+                    rng=jax.random.PRNGKey(args.seed + task_num),
+                )
+
+    if args.do_eval:
+        logger.info("Evaluating upstream knowledge transfer...")
+        upstream_dict = upstream_knowledge_transfer_eval(args, results_file)
+        gains = [v["relative_gain"] for v in upstream_dict.values() if v["relative_gain"] is not None]
+        if gains:
+            logger.info("Average forward transfer gain = %.2f%%", sum(gains) / len(gains))
+
+        if not task_trainers:
+            for task_key in args.ordered_cl_tasks:
+                trainer_cls = get_task_trainer_class(task_configs[task_key]["trainer"])
+                task_trainers[task_key] = trainer_cls(args, task_configs, model_config)
+
+        logger.info("Evaluating catastrophic forgetting...")
+        forgetting_dict = catastrophic_forgetting_eval(
+            args, results_file, model, task_trainers, adapter_handler
+        )
+        eval_results_file = os.path.join(output_dir, "eval_results.json")
+        with open(eval_results_file, "w") as f:
+            json.dump({
+                "upstream_knowledge_transfer": upstream_dict,
+                "forgetting": forgetting_dict,
+            }, f)
+        logger.info("Wrote %s", eval_results_file)
+
+
+if __name__ == "__main__":
+    main()

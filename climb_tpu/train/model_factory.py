@@ -85,7 +85,9 @@ def create_cl_model(
     variables = module.init(key, dummy_batch(cfg), method=type(module).init_all)
     params = variables["params"]
 
-    pretrained = getattr(args, "pretrained_vilt_name", "scratch")
+    pretrained = getattr(
+        args, "pretrained_model_name", getattr(args, "pretrained_vilt_name", "scratch")
+    )
     if pretrained not in ("scratch", "", None):
         params = _graft_pretrained(params, pretrained, cfg, needs_three)
 

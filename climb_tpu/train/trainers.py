@@ -176,6 +176,7 @@ class VLTaskTrainer(TaskTrainer):
         replay_freq = getattr(self.args, "replay_frequency", 100)
 
         best_score, best_params = -1.0, None
+        self.best_epoch = -1
         global_step = 0
         for epoch in range(1, self.num_epochs + 1):
             self.train_dataloader.set_epoch(epoch)
@@ -209,6 +210,7 @@ class VLTaskTrainer(TaskTrainer):
                 wandb_logger.log({f"{self.task_key}/dev_score": score})
                 if score > best_score:
                     best_score = score
+                    self.best_epoch = epoch
                     best_params = jax.device_get(state.params)
 
         if best_params is None:  # no eval epochs hit — keep final params

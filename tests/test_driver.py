@@ -1,0 +1,75 @@
+"""End-to-end Phase I driver runs (in-process, synthetic tiny).
+
+Covers the reference driver semantics: experiment naming, results.json,
+checkpoint layout, resume-and-skip, and the transfer/forgetting eval phase.
+"""
+
+import json
+import os
+
+import pytest
+
+from climb_tpu.cli.train_upstream_continual_learning import (
+    experiment_name_for,
+    main as upstream_main,
+)
+
+BASE = [
+    "--encoder_name", "vilt",
+    "--pretrained_model_name", "scratch",
+    "--climb_data_dir", "/tmp/unused",
+    "--synthetic", "--tiny", "--synthetic_train_size", "16",
+    "--batch_size", "8",
+]
+
+
+def run(outdir, *extra):
+    upstream_main(BASE + ["--output_dir", str(outdir)] + list(extra))
+
+
+def test_experiment_naming():
+    from types import SimpleNamespace
+
+    args = SimpleNamespace(
+        encoder_name="vilt", cl_algorithm="freeze_bottom_k_layers",
+        layers_to_freeze=9, ordered_cl_tasks=["vqa", "nlvr2"],
+    )
+    assert experiment_name_for(args) == "vilt-freeze_bottom9layers-task0_vqa-task1_nlvr2"
+    args.cl_algorithm = "adapter"
+    args.adapter_method, args.adapter_config = "vanilla", "houlsby"
+    assert experiment_name_for(args) == "vilt-adapter_vanilla_houlsbyconfig-task0_vqa-task1_nlvr2"
+
+
+def test_singletask_then_sequential_with_eval(tmp_path):
+    # singletask baseline first (provides the relative-gain reference)
+    run(tmp_path, "--ordered_cl_tasks", "snli-ve", "--cl_algorithm", "singletask_ft", "--do_train")
+    single_dir = tmp_path / "vilt-singletask_ft-task0_snli-ve"
+    results = json.loads((single_dir / "results.json").read_text())
+    assert results[0]["task_key"] == "snli-ve"
+    assert (single_dir / "checkpoints" / "task0_snli-ve" / "model").exists()
+    assert (single_dir / "checkpoints" / "task0_snli-ve" / "encoder").exists()
+
+    # sequential 2-task with full eval phase
+    run(tmp_path, "--ordered_cl_tasks", "snli-ve,nlvr2",
+        "--cl_algorithm", "sequential_ft", "--do_train", "--do_eval")
+    seq_dir = tmp_path / "vilt-sequential_ft-task0_snli-ve-task1_nlvr2"
+    ev = json.loads((seq_dir / "eval_results.json").read_text())
+    assert ev["upstream_knowledge_transfer"]["snli-ve"]["relative_gain"] is not None
+    assert "snli-ve" in ev["forgetting"]["nlvr2"]
+    f = ev["forgetting"]["nlvr2"]["snli-ve"]
+    assert f["transfer_tasks"] == "1->0"
+
+    # resume: second invocation must skip both tasks (results unchanged)
+    before = (seq_dir / "results.json").read_text()
+    run(tmp_path, "--ordered_cl_tasks", "snli-ve,nlvr2",
+        "--cl_algorithm", "sequential_ft", "--do_train")
+    assert (seq_dir / "results.json").read_text() == before
+
+
+def test_algorithm_arg_validation(tmp_path):
+    with pytest.raises(AssertionError):
+        run(tmp_path, "--ordered_cl_tasks", "snli-ve,nlvr2",
+            "--cl_algorithm", "singletask_ft", "--do_train")
+    with pytest.raises(AssertionError):
+        run(tmp_path, "--ordered_cl_tasks", "snli-ve,nlvr2",
+            "--cl_algorithm", "experience_replay", "--do_train")  # no memory args
