@@ -1,0 +1,107 @@
+"""Headline benchmark: upstream CL train-step throughput on one TPU chip.
+
+Measures the SNLI-VE training step (the reference's canonical task,
+SURVEY.md section 7) on the full-size ViLT-B/32 continual learner at the
+reference's global batch size (64): forward + backward + AdamW update, input
+batch in uint8 (device-side normalization), bf16 compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (the reference publishes no throughput numbers —
+BASELINE.md): the reference's train step runs HF ViltModel on one GPU with
+per-step, main-process ViltProcessor preprocessing (PIL resize + normalize +
+tokenize for the whole batch inside model.forward, src/modeling/vilt.py:83-96)
+— an input-bound pipeline. Estimate for A100:
+  - compute: ~152 GFLOPs/example (train = 3x fwd; 12 layers, d=768, seq=281)
+    -> ~600 ex/s at a generous 30% MFU of 312 TFLOPS bf16
+  - input path: per-step CPU preprocessing of 64 images (resize to 384x640,
+    normalize, tokenize) costs ~0.4-0.6 s/step single-process -> caps the
+    pipeline at ~110-160 ex/s
+  => reference A100 estimate: 150 ex/s (input-bound). North-star target
+     (BASELINE.json) is 3x that = 450 ex/s/chip.
+vs_baseline = measured / 450  (>= 1.0 means the 3x target is met).
+"""
+
+import json
+import time
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_A100_EXAMPLES_PER_SEC = 150.0
+TARGET_MULTIPLier = 3.0
+TARGET = REFERENCE_A100_EXAMPLES_PER_SEC * TARGET_MULTIPLier
+
+BATCH = 64
+WARMUP_STEPS = 3
+MEASURE_STEPS = 10
+
+
+def main():
+    from climb_tpu.configs import task_configs
+    from climb_tpu.train import TrainState, create_cl_model, make_train_step
+    from climb_tpu.train.optimizer import make_optimizer
+
+    args = SimpleNamespace(
+        batch_size=BATCH,
+        seed=0,
+        ordered_cl_tasks=["vqa", "nlvr2", "snli-ve", "vcr"],
+        encoder_name="vilt",
+        pretrained_model_name="scratch",
+        tiny=False,
+        synthetic=True,
+        compute_dtype="bfloat16",
+        attn_impl="xla",
+        remat=True,  # 16G HBM on v5e: rematerialize blocks at batch 64
+    )
+    model = create_cl_model(args, task_configs)
+    cfg = model.cfg
+
+    tx = make_optimizer(model.params, lr=5e-5, total_steps=10_000, warmup_ratio=0.1)
+    state = TrainState.create(apply_fn=model.module.apply, params=model.params, tx=tx)
+    train_step = make_train_step(model.module, "snli-ve", "ce", cfg.compute_dtype)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(1, cfg.vocab_size, (BATCH, cfg.max_text_len)), jnp.int32),
+        "text_mask": jnp.ones((BATCH, cfg.max_text_len), jnp.float32),
+        "pixel_values": jnp.asarray(
+            rng.randint(0, 255, (BATCH, cfg.image_height, cfg.image_width, 3)), jnp.uint8
+        ),
+        "patch_hw": jnp.broadcast_to(
+            jnp.array([cfg.grid_h, cfg.grid_w], jnp.int32), (BATCH, 2)
+        ),
+        "labels": jnp.asarray(rng.randint(0, 3, (BATCH,)), jnp.int32),
+    }
+
+    key = jax.random.PRNGKey(0)
+    for _ in range(WARMUP_STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+    float(metrics["loss"])  # hard sync (host fetch; block_until_ready is
+    # insufficient through async remote-execution backends)
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+    float(metrics["loss"])  # hard sync
+    dt = time.perf_counter() - t0
+
+    examples_per_sec = BATCH * MEASURE_STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "snli-ve_train_examples_per_sec_per_chip",
+                "value": round(examples_per_sec, 2),
+                "unit": "examples/sec/chip",
+                "vs_baseline": round(examples_per_sec / TARGET, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
