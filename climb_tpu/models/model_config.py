@@ -48,6 +48,8 @@ class ViltConfig:
     attn_impl: str = "xla"            # "xla" | "pallas"
     mlp_impl: str = "xla"             # "xla" | "pallas"
     remat: bool = False               # rematerialize encoder blocks
+    remat_policy: str = "selective"   # "selective": recompute only the O(S^2)
+    # attention probs in backward; "full": recompute whole blocks
 
     @property
     def head_dim(self) -> int:

@@ -229,11 +229,16 @@ class ViltCore(nn.Module):
 
         block_cls = ViltBlock
         if cfg.remat:
-            block_cls = nn.remat(
-                ViltBlock,
-                prevent_cse=False,
-                policy=jax.checkpoint_policies.nothing_saveable,
-            )
+            if cfg.remat_policy == "selective":
+                # Save all block activations EXCEPT the O(S^2) attention
+                # probabilities — backward recomputes only scores+softmax,
+                # cutting peak HBM by ~B*H*S^2*12 bytes at ~5% extra FLOPs.
+                policy = jax.checkpoint_policies.save_anything_except_these_names(
+                    "attn_probs"
+                )
+            else:
+                policy = jax.checkpoint_policies.nothing_saveable
+            block_cls = nn.remat(ViltBlock, prevent_cse=False, policy=policy)
         ScannedBlocks = nn.scan(
             block_cls,
             variable_axes={"params": 0},
