@@ -1,0 +1,81 @@
+"""Shared image providers (parity: reference ``src/data/image_datasets/``).
+
+``MSCOCOImagesDataset`` (cocoimages_dataset.py) and ``Flickr30KImagesDataset``
+(flickr30kimages_dataset.py) map image ids to files and produce
+model-ready images. TPU difference: instead of returning PIL images that get
+re-processed inside the model forward every step, these return fixed-shape
+uint8 canvases + valid patch dims (``climb_tpu.data.image_pipeline``),
+computed in loader worker threads.
+"""
+
+import logging
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+from climb_tpu.data.image_pipeline import process_image
+
+logger = logging.getLogger(__name__)
+
+
+class CanvasImageProvider:
+    """Base: id -> (uint8 canvas, patch_hw)."""
+
+    def __init__(self, canvas_hw: Tuple[int, int] = (384, 640), patch_size: int = 32):
+        self.canvas_hw = canvas_hw
+        self.patch_size = patch_size
+        self.imageid2filename: Dict = {}
+
+    def load_canvas(self, path: str):
+        from PIL import Image
+
+        try:
+            with Image.open(path) as img:
+                return process_image(img, self.canvas_hw, self.patch_size)
+        except Exception as e:
+            # reference behavior: a broken image becomes a black canvas
+            # (utils/image_utils.py:55-59)
+            logger.warning("image %s failed to load (%s); black canvas", path, e)
+            return (
+                np.zeros((*self.canvas_hw, 3), np.uint8),
+                (self.canvas_hw[0] // self.patch_size, self.canvas_hw[1] // self.patch_size),
+            )
+
+    def get_image_data(self, image_id):
+        return self.load_canvas(self.imageid2filename[image_id])
+
+
+class MSCOCOImagesDataset(CanvasImageProvider):
+    """COCO images (VQA): filename pattern '*_<12-digit-id>.jpg'
+    (cocoimages_dataset.py:39-45)."""
+
+    def __init__(self, coco_dir: str, canvas_hw=(384, 640), patch_size: int = 32):
+        super().__init__(canvas_hw, patch_size)
+        self.images_dir = os.path.join(coco_dir, "images")
+        for fn in os.listdir(self.images_dir):
+            base = fn.split("_")[-1]
+            try:
+                image_id = int(base.replace(".jpg", ""))
+            except ValueError:
+                continue
+            self.imageid2filename[image_id] = os.path.join(self.images_dir, base)
+        self.imageids = list(self.imageid2filename.keys())
+        logger.info("MSCOCO images: %d files", len(self.imageids))
+
+
+class Flickr30KImagesDataset(CanvasImageProvider):
+    """Flickr30K images (SNLI-VE): '<id>.jpg' under flickr30k_images/
+    (flickr30kimages_dataset.py:23-45)."""
+
+    def __init__(self, flickr_dir: str, canvas_hw=(384, 640), patch_size: int = 32):
+        super().__init__(canvas_hw, patch_size)
+        self.images_dir = os.path.join(flickr_dir, "flickr30k_images")
+        for fn in os.listdir(self.images_dir):
+            try:
+                image_id = int(fn.replace(".jpg", ""))
+            except ValueError:
+                continue
+            self.imageid2filename[image_id] = os.path.join(self.images_dir, fn)
+        self.imageids = list(self.imageid2filename.keys())
+        logger.info("Flickr30K images: %d files", len(self.imageids))

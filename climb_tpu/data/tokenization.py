@@ -122,12 +122,27 @@ class WordPieceTokenizer:
             start = end
         return ids
 
+    _SPECIALS_RE = None
+
     def tokenize_to_ids(self, text: str) -> List[int]:
+        """Tokenize, honoring literal special tokens embedded in the text
+        (VCR builds 'question [SEP] answer' strings, vcr_dataset.py:109-125 —
+        HF fast tokenizers recognize these; so do we)."""
+        import re
+
+        if WordPieceTokenizer._SPECIALS_RE is None:
+            WordPieceTokenizer._SPECIALS_RE = re.compile(
+                r"(\[CLS\]|\[SEP\]|\[PAD\]|\[UNK\]|\[MASK\])"
+            )
         ids = []
-        for tok in basic_tokenize(text, self.lowercase):
-            # Bracketed special tokens embedded in text (e.g. VCR's "[SEP]")
-            # are split by basic tokenization; handled by encode_pair instead.
-            ids.extend(self.wordpiece(tok))
+        for part in WordPieceTokenizer._SPECIALS_RE.split(text):
+            if not part:
+                continue
+            if part in self.vocab and part.startswith("["):
+                ids.append(self.vocab[part])
+                continue
+            for tok in basic_tokenize(part, self.lowercase):
+                ids.extend(self.wordpiece(tok))
         return ids
 
     def encode(
