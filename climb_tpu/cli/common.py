@@ -45,3 +45,6 @@ def add_tpu_args(parser: argparse.ArgumentParser):
     parser.add_argument("--synthetic_train_size", type=int, default=64)
     parser.add_argument("--tiny", action="store_true",
                         help="Tiny model config (fast CI / smoke runs).")
+    parser.add_argument("--eval_every_epoch", action="store_true",
+                        help="Eval every epoch instead of the reference's "
+                             "epoch>5-and-even gate (useful for short runs).")

@@ -186,10 +186,14 @@ class ViltClassifier(nn.Module):
     def __call__(self, batch: dict, deterministic: bool = True):
         ids, mask = batch["input_ids"], batch["text_mask"]
         pv, phw = batch["pixel_values"], batch["patch_hw"]
+        tt = batch.get("token_type_ids")
+        te = batch.get("text_embeds")
         if self.model_type == "multi-choice":
             b, nc, l = ids.shape
             ids = ids.reshape(b * nc, l)
             mask = mask.reshape(b * nc, l)
+            tt = tt.reshape(b * nc, l) if tt is not None else None
+            te = te.reshape((b * nc,) + te.shape[2:]) if te is not None else None
             total = b * nc
         else:
             total = ids.shape[0]
@@ -200,8 +204,8 @@ class ViltClassifier(nn.Module):
             phw = jnp.broadcast_to(phw, (total, 2))
         _, pooled, _ = self.encoder(
             ids, mask, pv, phw,
-            token_type_ids=batch.get("token_type_ids"),
-            text_embeds=batch.get("text_embeds"),
+            token_type_ids=tt,
+            text_embeds=te,
             deterministic=deterministic,
         )
         logits = self.head(pooled, deterministic=deterministic)

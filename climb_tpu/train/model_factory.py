@@ -101,6 +101,55 @@ def create_cl_model(
     )
 
 
+def load_encoder_params(checkpoint_name: str, cfg: ViltConfig,
+                        pretrained: str = "dandelin/vilt-b32-mlm", seed: int = 0):
+    """Encoder-only parameter loading for Phase II drivers.
+
+    Parity: reference ``load_vilt_encoder`` (vilt.py:481-514): start from
+    pretrained (or random-init) ViLT, expand modality rows when the upstream
+    checkpoint came from an NLVR2-containing run ('nlvr2' in the checkpoint
+    path), then load the saved encoder state dict. Here the checkpoint is the
+    'encoder' msgpack exported by the Phase I driver.
+    """
+    import os
+
+    from climb_tpu.ckpt.checkpoint import load_params
+    from climb_tpu.models import ViltCore
+    from climb_tpu.models.surgery import expand_modality_type_embeddings
+
+    needs_three = checkpoint_name is not None and "nlvr2" in str(checkpoint_name)
+    if needs_three:
+        cfg = cfg.replace(modality_type_vocab_size=3)
+    core = ViltCore(cfg)
+    batch = dummy_batch(cfg)
+    params = core.init(
+        jax.random.PRNGKey(seed),
+        batch["input_ids"], batch["text_mask"], batch["pixel_values"], batch["patch_hw"],
+    )["params"]
+
+    if pretrained not in ("scratch", "", None):
+        try:
+            from climb_tpu.models.hf_import import load_pretrained_vilt_params
+
+            enc = load_pretrained_vilt_params(pretrained, cfg)
+            if needs_three:
+                enc, _ = expand_modality_type_embeddings(
+                    enc, cfg.replace(modality_type_vocab_size=2)
+                )
+            params, _, _ = partial_load(params, enc)
+        except Exception as e:
+            logger.warning("pretrained %s unavailable (%s); random init", pretrained, e)
+
+    if checkpoint_name and os.path.isfile(checkpoint_name):
+        ckpt = load_params(checkpoint_name)
+        params, loaded, missing = partial_load(params, ckpt)
+        logger.info("Encoder checkpoint %s: %d tensors loaded, %d from init",
+                    checkpoint_name, len(loaded), len(missing))
+    elif checkpoint_name not in (None, "", "scratch"):
+        logger.warning("Encoder checkpoint %s not found; using base weights", checkpoint_name)
+    return params, cfg
+
+
 def _graft_pretrained(params, pretrained: str, cfg: ViltConfig, needs_three: bool):
     """Load HF pretrained ViLT weights into the encoder subtree."""
     from climb_tpu.models.hf_import import load_pretrained_vilt_params
