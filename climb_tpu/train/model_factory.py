@@ -84,12 +84,20 @@ def create_cl_model(
     key = jax.random.PRNGKey(seed if seed is not None else getattr(args, "seed", 42))
     variables = module.init(key, dummy_batch(cfg), method=type(module).init_all)
     params = variables["params"]
+    encoder_key = "viltbert" if args.encoder_name == "viltbert" else "vilt"
 
     pretrained = getattr(
         args, "pretrained_model_name", getattr(args, "pretrained_vilt_name", "scratch")
     )
     if pretrained not in ("scratch", "", None):
-        params = _graft_pretrained(params, pretrained, cfg, needs_three)
+        params = _graft_pretrained(params, pretrained, cfg, needs_three, encoder_key)
+
+    trainable_mask = model.trainable_mask
+    if encoder_key == "viltbert":
+        # the BERT text side is frozen (reference viltbert.py:115-120)
+        from climb_tpu.models.viltbert import viltbert_frozen_mask
+
+        trainable_mask = viltbert_frozen_mask(params, encoder_key)
 
     if mesh is None and getattr(args, "n_devices", 0):
         mesh = make_mesh(n_model=getattr(args, "n_model", 1))
@@ -97,7 +105,7 @@ def create_cl_model(
         params = shard_params(params, mesh)
     return CLModel(
         module=module, cfg=cfg, head_specs=head_specs, params=params, mesh=mesh,
-        trainable_mask=model.trainable_mask,
+        trainable_mask=trainable_mask, encoder_key=encoder_key,
     )
 
 
@@ -150,8 +158,9 @@ def load_encoder_params(checkpoint_name: str, cfg: ViltConfig,
     return params, cfg
 
 
-def _graft_pretrained(params, pretrained: str, cfg: ViltConfig, needs_three: bool):
-    """Load HF pretrained ViLT weights into the encoder subtree."""
+def _graft_pretrained(params, pretrained: str, cfg: ViltConfig, needs_three: bool,
+                      encoder_key: str = "vilt"):
+    """Load HF pretrained ViLT (and BERT for viltbert) into the encoder subtree."""
     from climb_tpu.models.hf_import import load_pretrained_vilt_params
     from climb_tpu.models.surgery import expand_modality_type_embeddings
 
@@ -167,8 +176,24 @@ def _graft_pretrained(params, pretrained: str, cfg: ViltConfig, needs_three: boo
         enc, _ = expand_modality_type_embeddings(
             enc, cfg.replace(modality_type_vocab_size=2)
         )
-    merged, loaded, missing = partial_load(params["vilt"], enc)
-    logger.info("Pretrained graft: %d tensors loaded, %d kept from init", len(loaded), len(missing))
     out = dict(params)
-    out["vilt"] = merged
+    if encoder_key == "viltbert":
+        sub = dict(params["viltbert"])
+        sub["vilt"], loaded, missing = partial_load(sub["vilt"], enc)
+        try:  # frozen text side: bert-base-uncased (reference viltbert.py:476)
+            from transformers import BertModel
+
+            from climb_tpu.models.hf_import import import_hf_bert
+
+            bert = BertModel.from_pretrained("bert-base-uncased", add_pooling_layer=False)
+            sub["bert"], bl, _ = partial_load(
+                sub["bert"], import_hf_bert(bert.state_dict(), cfg.num_layers)
+            )
+            loaded += bl
+        except Exception as e:
+            logger.warning("bert-base-uncased unavailable (%s); BERT stays random", e)
+        out["viltbert"] = sub
+    else:
+        out["vilt"], loaded, missing = partial_load(params["vilt"], enc)
+    logger.info("Pretrained graft: %d tensors loaded, %d kept from init", len(loaded), len(missing))
     return out

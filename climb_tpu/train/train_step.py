@@ -102,8 +102,12 @@ def ewc_penalty(params_encoder: dict, ewc_ref: EwcRef) -> jax.Array:
 
 
 def _encoder_subtree(params: dict) -> dict:
-    # The CL model's encoder lives under 'vilt' (see ViltContinualLearner.setup).
-    return params.get("vilt", params)
+    # The CL model's encoder lives under 'vilt' (ViltContinualLearner.setup)
+    # or 'viltbert' (ViltBertContinualLearner.setup).
+    for key in ("vilt", "viltbert"):
+        if key in params:
+            return params[key]
+    return params
 
 
 def make_forward_fn(model, task_key: Optional[str]) -> Callable:
