@@ -209,7 +209,10 @@ def main(argv=None):
                 merged, loaded, missing = partial_load(model.params, ckpt)
                 model = model.with_params(merged)
                 if missing:
-                    save_task_checkpoint(output_dir, task_num, task_key, merged)
+                    save_task_checkpoint(
+                        output_dir, task_num, task_key, merged,
+                        encoder_key=model.encoder_key,
+                    )
             else:
                 if args.cl_algorithm == "adapter":
                     logger.info("Activating adapters for task %s", task_name)
@@ -220,7 +223,10 @@ def main(argv=None):
                 )
                 logger.info("Best %s score = %.2f (epoch %d)",
                             task_name, best_eval_score, task_trainer.best_epoch)
-                save_task_checkpoint(output_dir, task_num, task_key, model.params)
+                save_task_checkpoint(
+                    output_dir, task_num, task_key, model.params,
+                    encoder_key=model.encoder_key,
+                )
                 results.append({
                     "task_num": task_num,
                     "task_key": task_key,
