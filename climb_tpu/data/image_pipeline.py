@@ -74,9 +74,22 @@ def process_image(
         image = image.convert("RGB")
     w, h = image.size
     nh, nw = vilt_resize_dims(h, w, max_h=ch, max_w=cw)
+
     if (nh, nw) != (h, w):
-        filt = Image.BICUBIC if resample == "bicubic" else Image.BILINEAR
-        image = image.resize((nw, nh), resample=filt)
+        try:
+            filt = Image.BICUBIC if resample == "bicubic" else Image.BILINEAR
+            image = image.resize((nw, nh), resample=filt)
+        except Exception:
+            # C++ path (climb_tpu/native/image_ops.cpp): bit-identical
+            # PIL-compatible separable resampling straight into the canvas.
+            from climb_tpu.native import resize_into_canvas
+
+            canvas = resize_into_canvas(
+                np.asarray(image, np.uint8)[:, :, :3], (nh, nw), (ch, cw), resample
+            )
+            if canvas is not None:
+                return canvas, (nh // patch_size, nw // patch_size)
+            raise
     arr = np.asarray(image, dtype=np.uint8)
     canvas = np.zeros((ch, cw, 3), np.uint8)
     canvas[:nh, :nw] = arr[:, :, :3]
