@@ -45,6 +45,9 @@ def add_tpu_args(parser: argparse.ArgumentParser):
     parser.add_argument("--synthetic_train_size", type=int, default=64)
     parser.add_argument("--tiny", action="store_true",
                         help="Tiny model config (fast CI / smoke runs).")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of train steps 5-10 "
+                             "into this directory (view with TensorBoard/xprof).")
     parser.add_argument("--eval_every_epoch", action="store_true",
                         help="Eval every epoch instead of the reference's "
                              "epoch>5-and-even gate (useful for short runs).")

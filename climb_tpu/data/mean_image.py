@@ -41,6 +41,18 @@ def compute_mean_image(images_dir: str, out_path: str, size=(640, 384), limit=No
     return mean
 
 
+def main(argv=None):
+    """CLI: offline mean-image synthesis (reference get_avg_images.py)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description=compute_mean_image.__doc__)
+    parser.add_argument("images_dir")
+    parser.add_argument("out_path", nargs="?", default="coco_mean_image.png")
+    parser.add_argument("--limit", type=int, default=None)
+    args = parser.parse_args(argv)
+    compute_mean_image(args.images_dir, args.out_path, limit=args.limit)
+
+
 def load_mean_image(path=None, image_size=None):
     """PIL mean image; neutral gray fallback when the png is unavailable."""
     from PIL import Image
@@ -54,3 +66,7 @@ def load_mean_image(path=None, image_size=None):
     if image_size is not None:
         img = img.resize(image_size)
     return img
+
+
+if __name__ == "__main__":
+    main()

@@ -178,16 +178,25 @@ class VLTaskTrainer(TaskTrainer):
         best_score, best_params = -1.0, None
         self.best_epoch = -1
         global_step = 0
+        profile_dir = getattr(self.args, "profile_dir", None)
         for epoch in range(1, self.num_epochs + 1):
             self.train_dataloader.set_epoch(epoch)
             t0, seen = time.time(), 0
             for batch in self.train_dataloader:
+                # profiler window over steady-state steps (aux subsystem:
+                # the reference has no tracing at all, SURVEY.md section 5.1)
+                if profile_dir is not None and global_step == 5:
+                    jax.profiler.start_trace(profile_dir)
                 batch = self._put(batch, model.mesh)
                 ewc_ref = None
                 if ewc is not None and ewc.has_tasks():
                     ewc_ref = ewc.sample_ref()
                 state, metrics = train_step(state, batch, self._next_rng(), ewc_ref)
                 global_step += 1
+                if profile_dir is not None and global_step == 10:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profile_dir = None
                 seen += self.batch_size
                 if replay_memory is not None and replay_memory.do_replay():
                     if global_step % replay_freq == 0:

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Upstream CL with per-task Houlsby adapters (reduction 16).
+DATA_DIR=${CLIMB_DATA_DIR:-/data/datasets/MCL/}
+OUT_DIR=${CLIMB_OUTPUT_DIR:-/data/experiments/MCL/}
+python -m climb_tpu.cli.train_upstream_continual_learning --encoder_name vilt \
+    --pretrained_model_name dandelin/vilt-b32-mlm \
+    --ordered_cl_tasks vqa,nlvr2,snli-ve,vcr \
+    --cl_algorithm adapter \
+    --adapter_method vanilla \
+    --adapter_config houlsby \
+    --adapter_reduction_factor 16 \
+    --climb_data_dir $DATA_DIR \
+    --do_train --do_eval \
+    --output_dir $OUT_DIR \
+    --do_wandb_logging \
+    --compute_dtype bfloat16 --remat \
+    --batch_size 64 "$@"

@@ -1,0 +1,16 @@
+#!/bin/bash
+# Upstream CL with EWC (Fisher sample 1%, loss weight 100).
+DATA_DIR=${CLIMB_DATA_DIR:-/data/datasets/MCL/}
+OUT_DIR=${CLIMB_OUTPUT_DIR:-/data/experiments/MCL/}
+python -m climb_tpu.cli.train_upstream_continual_learning --encoder_name vilt \
+    --pretrained_model_name dandelin/vilt-b32-mlm \
+    --ordered_cl_tasks vqa,nlvr2,snli-ve,vcr \
+    --cl_algorithm ewc \
+    --ewc_fisher_sample_percentage 0.01 \
+    --ewc_loss_weight 100.0 \
+    --climb_data_dir $DATA_DIR \
+    --do_train --do_eval \
+    --output_dir $OUT_DIR \
+    --do_wandb_logging \
+    --compute_dtype bfloat16 --remat \
+    --batch_size 64 "$@"

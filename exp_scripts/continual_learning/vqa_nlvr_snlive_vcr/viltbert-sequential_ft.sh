@@ -1,0 +1,14 @@
+#!/bin/bash
+# Upstream CL with the ViLT-BERT encoder (frozen BERT text side).
+DATA_DIR=${CLIMB_DATA_DIR:-/data/datasets/MCL/}
+OUT_DIR=${CLIMB_OUTPUT_DIR:-/data/experiments/MCL/}
+python -m climb_tpu.cli.train_upstream_continual_learning --encoder_name viltbert \
+    --pretrained_model_name dandelin/vilt-b32-mlm \
+    --ordered_cl_tasks vqa,nlvr2,snli-ve,vcr \
+    --cl_algorithm sequential_ft \
+    --climb_data_dir $DATA_DIR \
+    --do_train --do_eval \
+    --output_dir $OUT_DIR \
+    --do_wandb_logging \
+    --compute_dtype bfloat16 --remat \
+    --batch_size 64 "$@"
