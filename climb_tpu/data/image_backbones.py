@@ -66,7 +66,15 @@ class MSCOCOImagesDataset(CanvasImageProvider):
 
 class Flickr30KImagesDataset(CanvasImageProvider):
     """Flickr30K images (SNLI-VE): '<id>.jpg' under flickr30k_images/
-    (flickr30kimages_dataset.py:23-45)."""
+    (flickr30kimages_dataset.py:23-45).
+
+    Documented deviation: the reference's Flickr path uses
+    ``T.Resize((384,640))`` — a fixed tuple that DISTORTS aspect ratio
+    (flickr30kimages_dataset.py:52), unlike its COCO path's
+    aspect-preserving ``Resize(384, max_size=640)``. This implementation
+    uses the aspect-preserving ViLT resize for both (the reference behavior
+    looks like an oversight; HF ViltProcessor re-resizes afterward anyway).
+    """
 
     def __init__(self, flickr_dir: str, canvas_hw=(384, 640), patch_size: int = 32):
         super().__init__(canvas_hw, patch_size)
