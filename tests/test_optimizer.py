@@ -1,0 +1,74 @@
+"""Optimizer/schedule parity: poly-warmup schedule vs HF reference values,
+weight-decay mask coverage, update masking."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from climb_tpu.train.optimizer import (
+    apply_update_mask,
+    make_optimizer,
+    polynomial_warmup_schedule,
+    weight_decay_mask,
+)
+
+
+def test_schedule_matches_hf_polynomial_decay():
+    """Compare against transformers.get_polynomial_decay_schedule_with_warmup
+    (the reference's scheduler, train_snli_ve.py:183-189)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    lr, total, warmup = 1e-4, 100, 10
+    param = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([param], lr=lr)
+    sched = transformers.get_polynomial_decay_schedule_with_warmup(
+        opt, num_warmup_steps=warmup, num_training_steps=total, lr_end=0, power=1
+    )
+    mine = polynomial_warmup_schedule(lr, total, warmup_ratio=warmup / total)
+    for step in range(0, total + 1, 7):
+        ref = sched.lr_lambdas[0](step) * lr
+        np.testing.assert_allclose(float(mine(step)), ref, rtol=1e-6, atol=1e-12)
+
+
+def test_weight_decay_mask():
+    params = {
+        "dense": {"kernel": np.zeros((2, 2)), "bias": np.zeros((2,))},
+        "ln": {"scale": np.zeros((2,)), "bias": np.zeros((2,))},
+        "word_embeddings": np.zeros((4, 2)),
+    }
+    m = weight_decay_mask(params)
+    assert m["dense"]["kernel"] is True
+    assert m["dense"]["bias"] is False
+    assert m["ln"]["scale"] is False
+    assert m["word_embeddings"] is True  # embeddings decay (reference grouping)
+
+
+def test_update_mask_blocks_weight_decay_drift():
+    """Frozen params must not move even with weight decay and zero grads."""
+    params = {"a": jnp.ones((2,)), "b": jnp.ones((2,))}
+    mask = {"a": jnp.asarray(1.0), "b": jnp.asarray(0.0)}
+    tx = make_optimizer(params, lr=0.1, total_steps=10, warmup_ratio=0.0,
+                        weight_decay=0.5, trainable_mask=mask)
+    opt_state = tx.init(params)
+    grads = {"a": jnp.ones((2,)), "b": jnp.zeros((2,))}
+    updates, _ = tx.update(grads, opt_state, params)
+    new = optax.apply_updates(params, updates)
+    assert not np.allclose(np.asarray(new["a"]), 1.0)       # trained
+    np.testing.assert_array_equal(np.asarray(new["b"]), 1.0)  # fully frozen
+
+
+def test_per_layer_vector_mask():
+    """Stacked-leaf masks freeze slices of one leaf (freeze_bottom_k path)."""
+    params = {"enc": jnp.ones((3, 2))}
+    mask = {"enc": jnp.asarray([[0.0], [0.0], [1.0]])}
+    tx = make_optimizer(params, lr=0.1, total_steps=10, warmup_ratio=0.0,
+                        trainable_mask=mask)
+    opt_state = tx.init(params)
+    updates, _ = tx.update({"enc": jnp.ones((3, 2))}, opt_state, params)
+    new = np.asarray(optax.apply_updates(params, updates)["enc"])
+    np.testing.assert_array_equal(new[:2], 1.0)
+    assert (new[2] != 1.0).all()
