@@ -19,11 +19,19 @@ logger = logging.getLogger(__name__)
 
 
 def relative_gain(cl_score: float, single_score: float, random_score: float) -> float:
-    return 100.0 * (cl_score - single_score) / (single_score - random_score)
+    denom = single_score - random_score
+    if abs(denom) < 1e-9:  # degenerate: baseline at chance level
+        logger.warning("relative_gain denominator ~0 (single=%s random=%s)", single_score, random_score)
+        return 0.0
+    return 100.0 * (cl_score - single_score) / denom
 
 
 def forgetting_percentage(baseline: float, eval_score: float, random_score: float) -> float:
-    return 100.0 * (baseline - eval_score) / (baseline - random_score)
+    denom = baseline - random_score
+    if abs(denom) < 1e-9:  # degenerate: baseline at chance level
+        logger.warning("forgetting denominator ~0 (baseline=%s random=%s)", baseline, random_score)
+        return 0.0
+    return 100.0 * (baseline - eval_score) / denom
 
 
 def upstream_knowledge_transfer_eval(args, results_file: str) -> Dict:
