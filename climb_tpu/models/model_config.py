@@ -48,8 +48,8 @@ class ViltConfig:
     attn_impl: str = "xla"            # "xla" | "pallas"
     mlp_impl: str = "xla"             # "xla" | "pallas"
     remat: bool = False               # rematerialize encoder blocks
-    remat_policy: str = "selective"   # "selective": recompute only the O(S^2)
-    # attention probs in backward; "full": recompute whole blocks
+    remat_policy: str = "full"        # "full" | "dots" | "selective"
+    scan_unroll: int = 1              # unroll factor for the layer scan
 
     @property
     def head_dim(self) -> int:

@@ -248,6 +248,7 @@ class ViltCore(nn.Module):
             split_rngs={"params": True, "dropout": True},
             length=cfg.num_layers,
             in_axes=nn.broadcast,
+            unroll=cfg.scan_unroll,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )
         x, _ = ScannedBlocks(

@@ -35,6 +35,8 @@ def vilt_config_from_args(args, needs_three_modalities: bool) -> ViltConfig:
         dtype=getattr(args, "compute_dtype", "float32"),
         attn_impl=getattr(args, "attn_impl", "xla"),
         remat=getattr(args, "remat", False),
+        remat_policy=getattr(args, "remat_policy", "full"),
+        scan_unroll=getattr(args, "scan_unroll", 1),
     )
     if getattr(args, "tiny", False):
         kw.update(
