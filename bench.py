@@ -54,7 +54,9 @@ def main():
         synthetic=True,
         compute_dtype="bfloat16",
         attn_impl="xla",
-        remat=True,  # 16G HBM on v5e: rematerialize blocks at batch 64
+        remat=True,       # 16G HBM on v5e: rematerialize blocks at batch 64
+        remat_policy="full",
+        scan_unroll=12,   # fully unroll the layer scan (+27% step time)
     )
     model = create_cl_model(args, task_configs)
     cfg = model.cfg
