@@ -19,7 +19,8 @@ from climb_tpu.ops.image_ops import VILT_MEAN, VILT_STD
 
 
 def _normalize_kernel(u8_ref, out_ref, *, scale, shift):
-    x = u8_ref[...].astype(jnp.float32) * scale + shift
+    # Mosaic lacks a direct uint8->f32 cast; widen through int32 first.
+    x = u8_ref[...].astype(jnp.int32).astype(jnp.float32) * scale + shift
     out_ref[...] = x.astype(out_ref.dtype)
 
 
