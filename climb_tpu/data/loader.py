@@ -52,7 +52,14 @@ class DataLoader:
         num_workers: int = 4,
         prefetch: int = 2,
         epoch: int = 0,
+        host_id: Optional[int] = None,
+        host_count: Optional[int] = None,
     ):
+        """host_id/host_count: per-host sharding for multi-host meshes — each
+        host iterates a disjoint stripe of the (seed+epoch-shuffled) index
+        stream, so a multi-host data-parallel job feeds distinct examples per
+        host (the TPU-native replacement for distributed samplers,
+        SURVEY.md section 5.8). Defaults to the JAX process topology."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -62,6 +69,16 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.epoch = epoch
+        if host_count is None:
+            try:
+                import jax
+
+                host_id = jax.process_index()
+                host_count = jax.process_count()
+            except Exception:
+                host_id, host_count = 0, 1
+        self.host_id = host_id or 0
+        self.host_count = max(1, host_count)
 
     def __len__(self):
         n = len(self.dataset)
@@ -78,6 +95,9 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
+        if self.host_count > 1:
+            idx = idx[self.host_id :: self.host_count]
+            n = len(idx)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         return [idx[i : i + self.batch_size] for i in range(0, stop, self.batch_size) if i < stop]
 

@@ -138,3 +138,17 @@ def test_make_table(tmp_path):
     table = json.loads(open(out).read())
     assert table["ViLT"]["single"]["task0"]["vqa"]["16"].startswith("79.0")
     assert table["ViLT"]["sequent"]["task1"]["nlvr2"]["16"].startswith("70.0")
+
+
+def test_loader_host_sharding():
+    """Per-host index striping: disjoint and complete across hosts."""
+    from climb_tpu.data.collation import stack_collate
+    from climb_tpu.data.loader import DataLoader
+
+    ds = [{"x": np.int32(i)} for i in range(20)]
+    a = DataLoader(ds, 4, stack_collate, host_id=0, host_count=2)
+    b = DataLoader(ds, 4, stack_collate, host_id=1, host_count=2)
+    xa = np.concatenate([bt["x"][bt["valid"].astype(bool)] for bt in a])
+    xb = np.concatenate([bt["x"][bt["valid"].astype(bool)] for bt in b])
+    assert len(set(xa) & set(xb)) == 0
+    assert len(set(xa) | set(xb)) == 20
