@@ -75,6 +75,25 @@ def interpolate_visual_pos_embed(
     return pos.reshape(b, grid_h * grid_w, grid.shape[-1])
 
 
+class _DenseParams(nn.Module):
+    """Raw kernel/bias parameters with nn.Dense's pytree layout — lets the
+    fused Pallas MLP consume the same checkpoint structure."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features_out,), jnp.float32)
+        return kernel, bias
+
+
 class ViltBlock(nn.Module):
     """One pre-norm transformer block (HF ViltLayer semantics).
 
@@ -117,9 +136,19 @@ class ViltBlock(nn.Module):
         # --- MLP sublayer ---
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="ln2")(x)
         mlp_in = h
-        h = dense(cfg.intermediate_size, "fc1")(h)
-        h = nn.gelu(h, approximate=False)  # HF 'gelu' is exact erf GELU
-        h = dense(d, "fc2")(h)
+        if cfg.mlp_impl == "pallas":
+            from climb_tpu.ops.pallas_mlp import fused_mlp
+
+            k1, b1 = _DenseParams(d, cfg.intermediate_size, name="fc1")()
+            k2, b2 = _DenseParams(cfg.intermediate_size, d, name="fc2")()
+            h = fused_mlp(
+                h.astype(dtype), k1.astype(dtype), b1.astype(dtype),
+                k2.astype(dtype), b2.astype(dtype),
+            )
+        else:
+            h = dense(cfg.intermediate_size, "fc1")(h)
+            h = nn.gelu(h, approximate=False)  # HF 'gelu' is exact erf GELU
+            h = dense(d, "fc2")(h)
         h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
         if self.adapter_spec is not None and self.adapter_spec.output_adapter:
             adapter_input = mlp_in if self.adapter_spec.is_parallel else h
