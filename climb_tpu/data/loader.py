@@ -140,6 +140,22 @@ class DataLoader:
                     break
 
 
+def device_prefetch(batch_iter, put_fn, size: int = 2):
+    """Overlap host->device transfer with device compute: keep `size` batches
+    already transferred ahead of the consumer. `put_fn` maps a host batch to
+    device arrays (device_put / shard_batch). JAX transfers are async, so
+    enqueueing ahead is enough to hide PCIe/ICI latency behind the step."""
+    import collections
+
+    queue = collections.deque()
+    for batch in batch_iter:
+        queue.append(put_fn(batch))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def collate_from_indices(dataset, indices: Sequence[int], collate_fn: Callable, batch_size: Optional[int] = None) -> dict:
     """Build one fixed-shape batch from explicit dataset indices (used by the
     experience-replay buffer, reference experience_replay.py:53-67)."""

@@ -179,15 +179,19 @@ class VLTaskTrainer(TaskTrainer):
         self.best_epoch = -1
         global_step = 0
         profile_dir = getattr(self.args, "profile_dir", None)
+        from climb_tpu.data.loader import device_prefetch
+
         for epoch in range(1, self.num_epochs + 1):
             self.train_dataloader.set_epoch(epoch)
             t0, seen = time.time(), 0
-            for batch in self.train_dataloader:
+            batches = device_prefetch(
+                iter(self.train_dataloader), lambda b: self._put(b, model.mesh)
+            )
+            for batch in batches:
                 # profiler window over steady-state steps (aux subsystem:
                 # the reference has no tracing at all, SURVEY.md section 5.1)
                 if profile_dir is not None and global_step == 5:
                     jax.profiler.start_trace(profile_dir)
-                batch = self._put(batch, model.mesh)
                 ewc_ref = None
                 if ewc is not None and ewc.has_tasks():
                     ewc_ref = ewc.sample_ref()
