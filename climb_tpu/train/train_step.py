@@ -139,11 +139,15 @@ def make_train_step(model, task_key: Optional[str], loss_type: str, compute_dtyp
         )
         new_state = state.apply_gradients(grads)
         metric_sum, metric_count = batch_metric(logits, batch, loss_type)
-        return new_state, {
+        metrics = {
             "loss": loss,
             "metric_sum": metric_sum,
             "metric_count": metric_count,
         }
+        if ewc_ref is not None:
+            # logged separately like the reference (train_snli_ve.py:212-216)
+            metrics["ewc_loss"] = ewc_penalty(_encoder_subtree(new_state.params), ewc_ref)
+        return new_state, metrics
 
     return train_step
 

@@ -209,9 +209,10 @@ class VLTaskTrainer(TaskTrainer):
                         )
                         state = state.replace(params=new_params)
                 if global_step % log_freq == 0:
-                    wandb_logger.log(
-                        {f"{self.task_key}/loss": float(metrics["loss"])}
-                    )
+                    log = {f"{self.task_key}/loss": float(metrics["loss"])}
+                    if "ewc_loss" in metrics:
+                        log[f"{self.task_key}/ewc_loss"] = float(metrics["ewc_loss"])
+                    wandb_logger.log(log)
             dt = time.time() - t0
             do_eval = self.eval_epochs is None or epoch in self.eval_epochs
             if do_eval:
