@@ -208,3 +208,17 @@ def test_sst2_local_fallback_class_balance(lang_dir):
     test = build_language_dataset("sst2", os.path.join(lang_dir, "sst2"), "test",
                                   max_len=16, tokenizer=TOK)
     assert len(test) == 6
+
+
+def test_places365(tmp_path):
+    from climb_tpu.data.vision import Places365Dataset
+
+    for split in ("train", "val"):
+        for c in ("alley", "beach"):
+            for j in range(4):
+                _img(str(tmp_path / split / c / f"{j}.jpg"), size=(64, 64))
+    test = Places365Dataset(str(tmp_path), "test", tokenizer=TOK, canvas_hw=CANVAS)
+    assert len(test) == 8
+    ex = test[0]
+    assert ex["pixel_values"].shape == (64, 96, 3)
+    assert int(ex["labels"]) in (0, 1)
