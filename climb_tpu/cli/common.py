@@ -12,6 +12,21 @@ def setup_logging():
     )
 
 
+def enable_compilation_cache(cache_dir: str = None):
+    """Persistent XLA compilation cache: the fully-unrolled train step takes
+    ~3 min to compile; caching makes reruns and resumed experiments instant."""
+    import os
+
+    import jax
+
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/climb_tpu_xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # older jax without the knobs
+        pass
+
+
 def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--output_dir", type=str, required=True,
                         help="Directory where experiment results and checkpoints are saved.")

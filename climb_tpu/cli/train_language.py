@@ -12,7 +12,12 @@ import argparse
 import logging
 import os
 
-from climb_tpu.cli.common import add_common_args, add_tpu_args, setup_logging
+from climb_tpu.cli.common import (
+    add_common_args,
+    add_tpu_args,
+    enable_compilation_cache,
+    setup_logging,
+)
 from climb_tpu.configs import model_configs, task_configs
 from climb_tpu.utils import set_seed
 
@@ -48,6 +53,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
     set_seed(args)
+    enable_compilation_cache()
 
     import jax
     import numpy as np

@@ -13,7 +13,12 @@ import json
 import logging
 import os
 
-from climb_tpu.cli.common import add_common_args, add_tpu_args, setup_logging
+from climb_tpu.cli.common import (
+    add_common_args,
+    add_tpu_args,
+    enable_compilation_cache,
+    setup_logging,
+)
 from climb_tpu.cli.train_upstream_continual_learning import experiment_name_for
 from climb_tpu.configs import (
     ADAPTER_MAP,
@@ -77,6 +82,7 @@ def main(argv=None):
     results_file = os.path.join(output_dir, "lowshot_results.json")
     os.makedirs(output_dir, exist_ok=True)
     set_seed(args)
+    enable_compilation_cache()
 
     from climb_tpu.ckpt import partial_load, task_checkpoint_exists, load_task_checkpoint
     from climb_tpu.train import create_cl_model, get_task_trainer_class

@@ -19,7 +19,12 @@ import json
 import logging
 import os
 
-from climb_tpu.cli.common import add_common_args, add_tpu_args, setup_logging
+from climb_tpu.cli.common import (
+    add_common_args,
+    add_tpu_args,
+    enable_compilation_cache,
+    setup_logging,
+)
 from climb_tpu.configs import (
     ADAPTER_MAP,
     ALLOWED_CL_ENCODERS,
@@ -123,6 +128,7 @@ def main(argv=None):
     results_file = os.path.join(output_dir, "results.json")
     os.makedirs(output_dir, exist_ok=True)
     set_seed(args)
+    enable_compilation_cache()
     validate_algorithm_args(args)
 
     # deferred heavy imports (jax) until after arg validation

@@ -11,7 +11,12 @@ import argparse
 import logging
 import os
 
-from climb_tpu.cli.common import add_common_args, add_tpu_args, setup_logging
+from climb_tpu.cli.common import (
+    add_common_args,
+    add_tpu_args,
+    enable_compilation_cache,
+    setup_logging,
+)
 from climb_tpu.configs import task_configs
 from climb_tpu.utils import set_seed
 
@@ -43,6 +48,7 @@ def main(argv=None):
     if args.tiny:
         args.image_height, args.image_width = 64, 96
     set_seed(args)
+    enable_compilation_cache()
 
     import jax
     import numpy as np
