@@ -50,6 +50,9 @@ def add_tpu_args(parser: argparse.ArgumentParser):
     parser.add_argument("--remat_policy", type=str, default="full",
                         choices=["full", "dots", "selective"],
                         help="What remat recomputes in backward.")
+    parser.add_argument("--grad_accum_steps", type=int, default=1,
+                        help="Split each batch into k microbatches and average "
+                             "gradients inside one step (memory vs throughput).")
     parser.add_argument("--scan_unroll", type=int, default=1,
                         help="Unroll factor for the encoder layer scan; full "
                              "unroll (=num_layers) trades compile time for "

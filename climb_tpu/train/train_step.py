@@ -117,8 +117,15 @@ def make_forward_fn(model, task_key: Optional[str]) -> Callable:
     return lambda params, batch, **kw: model.apply({"params": params}, task_key, batch, **kw)
 
 
-def make_train_step(model, task_key: Optional[str], loss_type: str, compute_dtype=jnp.float32):
-    """Build the jitted train step. Call as step(state, batch, rng[, ewc_ref])."""
+def make_train_step(model, task_key: Optional[str], loss_type: str, compute_dtype=jnp.float32,
+                    grad_accum_steps: int = 1):
+    """Build the jitted train step. Call as step(state, batch, rng[, ewc_ref]).
+
+    grad_accum_steps > 1 splits the batch into that many microbatches and
+    averages their gradients inside one jitted step (a lax.scan) — the
+    memory-constrained way to keep the reference's global batch size on a
+    16G chip without rematerialization.
+    """
     forward = make_forward_fn(model, task_key)
 
     def loss_fn(params, batch, rng, ewc_ref):
@@ -131,12 +138,38 @@ def make_train_step(model, task_key: Optional[str], loss_type: str, compute_dtyp
             penalty = ewc_penalty(_encoder_subtree(params), ewc_ref)
         return loss + penalty, (loss, logits)
 
+    def accumulate_grads(params, batch, rng, ewc_ref):
+        if grad_accum_steps <= 1:
+            grads, (loss, logits) = jax.grad(loss_fn, has_aux=True)(
+                params, batch, rng, ewc_ref
+            )
+            return grads, loss, logits
+
+        def micro(b):
+            return {k: v.reshape((grad_accum_steps, -1) + v.shape[1:]) for k, v in b.items()}
+
+        micro_batches = micro(batch)
+        rngs = jax.random.split(rng, grad_accum_steps)
+
+        def body(carry, xs):
+            acc, loss_acc = carry
+            mb, r = xs
+            g, (loss, logits) = jax.grad(loss_fn, has_aux=True)(params, mb, r, ewc_ref)
+            acc = jax.tree_util.tree_map(jnp.add, acc, g)
+            return (acc, loss_acc + loss), logits
+
+        zeros = jax.tree_util.tree_map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        (grads, loss_sum), logits = jax.lax.scan(
+            body, (zeros, jnp.zeros((), jnp.float32)), (micro_batches, rngs)
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / grad_accum_steps, grads)
+        logits = logits.reshape((-1,) + logits.shape[2:])
+        return grads, loss_sum / grad_accum_steps, logits
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng, ewc_ref=None):
         batch = prepare_batch(batch, compute_dtype)
-        grads, (loss, logits) = jax.grad(loss_fn, has_aux=True)(
-            state.params, batch, rng, ewc_ref
-        )
+        grads, loss, logits = accumulate_grads(state.params, batch, rng, ewc_ref)
         new_state = state.apply_gradients(grads)
         metric_sum, metric_count = batch_metric(logits, batch, loss_type)
         metrics = {

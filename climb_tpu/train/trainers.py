@@ -170,7 +170,8 @@ class VLTaskTrainer(TaskTrainer):
             apply_fn=model.module.apply, params=model.params, tx=tx
         )
         train_step = make_train_step(
-            model.module, self.task_key, self.loss_type, model.cfg.compute_dtype
+            model.module, self.task_key, self.loss_type, model.cfg.compute_dtype,
+            grad_accum_steps=getattr(self.args, "grad_accum_steps", 1),
         )
         log_freq = wandb_logger.get_log_freq()
         replay_freq = getattr(self.args, "replay_frequency", 100)
