@@ -24,6 +24,23 @@ import numpy as np
 CLS, SEP, PAD, UNK, MASK = "[CLS]", "[SEP]", "[PAD]", "[UNK]", "[MASK]"
 
 
+def truncate_pair(a, b, budget: int):
+    """HF fast-tokenizer 'longest_first' pair truncation (analytic form,
+    verified against BertTokenizerFast): the initially-longer sequence keeps
+    max(ceil(budget/2), budget - len(other)); ties favor the pair."""
+    if len(a) + len(b) <= budget:
+        return a, b
+    half_c = budget - budget // 2
+    if len(a) > len(b):
+        ka = max(half_c, budget - len(b))
+        kb = budget - ka
+    else:
+        kb = max(half_c, budget - len(a))
+        ka = budget - kb
+    return a[:ka], b[:kb]
+
+
+
 def _is_punctuation(ch: str) -> bool:
     cp = ord(ch)
     if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
@@ -159,10 +176,7 @@ class WordPieceTokenizer:
         a = self.tokenize_to_ids(text)
         if text_pair is not None:
             b = self.tokenize_to_ids(text_pair)
-            # truncate longest-first to fit max_len - 3 specials
-            budget = max_len - 3
-            while len(a) + len(b) > budget:
-                (a if len(a) >= len(b) else b).pop()
+            a, b = truncate_pair(a, b, max_len - 3)
             ids = [self.cls_id] + a + [self.sep_id] + b + [self.sep_id]
             types = [0] * (len(a) + 2) + [1] * (len(b) + 1)
         else:
@@ -203,9 +217,7 @@ class HashTokenizer:
         a = tok(text)
         if text_pair is not None:
             b = tok(text_pair)
-            budget = max_len - 3
-            while len(a) + len(b) > budget:
-                (a if len(a) >= len(b) else b).pop()
+            a, b = truncate_pair(a, b, max_len - 3)
             ids = [self.cls_id] + a + [self.sep_id] + b + [self.sep_id]
             types = [0] * (len(a) + 2) + [1] * (len(b) + 1)
         else:

@@ -11,6 +11,7 @@
 // Build: g++ -O3 -shared -fPIC -o libclimb_tokenizer.so tokenizer.cpp
 // ABI: plain C, consumed via ctypes (climb_tpu/native/__init__.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <fstream>
@@ -163,10 +164,23 @@ int wp_encode(void* h, const char* text, const char* text_pair, int max_len,
   std::vector<int32_t> ids;
   std::vector<int32_t> types;
   if (has_pair) {
+    // HF 'longest_first' pair truncation (analytic form, verified against
+    // BertTokenizerFast): the initially-longer sequence keeps
+    // max(ceil(budget/2), budget - other); ties favor the pair.
     int budget = max_len - 3;
-    while ((int)(a.size() + b.size()) > budget) {
-      if (a.size() >= b.size()) a.pop_back();
-      else b.pop_back();
+    int na = (int)a.size(), nb = (int)b.size();
+    if (na + nb > budget) {
+      int half_c = budget - budget / 2;
+      int ka, kb;
+      if (na > nb) {
+        ka = std::max(half_c, budget - nb);
+        kb = budget - ka;
+      } else {
+        kb = std::max(half_c, budget - na);
+        ka = budget - kb;
+      }
+      a.resize(ka);
+      b.resize(kb);
     }
     ids.push_back(tok->cls_id);
     ids.insert(ids.end(), a.begin(), a.end());
