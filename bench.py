@@ -54,8 +54,8 @@ def main():
         synthetic=True,
         compute_dtype="bfloat16",
         attn_impl="xla",
-        remat=True,       # 16G HBM on v5e: rematerialize blocks at batch 64
-        remat_policy="full",
+        remat=True,       # 16G HBM on v5e: rematerialize at batch 64
+        remat_policy="selective",  # save all but attn_probs (sweep winner)
         scan_unroll=12,   # fully unroll the layer scan (+27% step time)
     )
     model = create_cl_model(args, task_configs)
@@ -63,7 +63,13 @@ def main():
 
     tx = make_optimizer(model.params, lr=5e-5, total_steps=10_000, warmup_ratio=0.1)
     state = TrainState.create(apply_fn=model.module.apply, params=model.params, tx=tx)
-    train_step = make_train_step(model.module, "snli-ve", "ce", cfg.compute_dtype)
+    # 4 microbatches of 16 inside one jitted step: identical optimizer
+    # trajectory to a single batch-64 step (tests/test_grad_accum.py), but
+    # the smaller live activation set schedules ~19% faster on v5e
+    # (exp_scripts/bench_sweep.py).
+    train_step = make_train_step(
+        model.module, "snli-ve", "ce", cfg.compute_dtype, grad_accum_steps=4
+    )
 
     rng = np.random.RandomState(0)
     batch = {
