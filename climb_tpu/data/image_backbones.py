@@ -14,7 +14,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from climb_tpu.data.image_pipeline import process_image
+from climb_tpu.data.image_pipeline import process_image, process_jpeg_file
 
 logger = logging.getLogger(__name__)
 
@@ -31,6 +31,12 @@ class CanvasImageProvider:
         from PIL import Image
 
         try:
+            if path.lower().endswith((".jpg", ".jpeg")):
+                # fully-native path: C++ libjpeg decode + C++ bit-exact
+                # resample (falls through to PIL when unavailable/CMYK)
+                out = process_jpeg_file(path, self.canvas_hw, self.patch_size)
+                if out is not None:
+                    return out
             with Image.open(path) as img:
                 return process_image(img, self.canvas_hw, self.patch_size)
         except Exception as e:

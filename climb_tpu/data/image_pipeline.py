@@ -96,6 +96,57 @@ def process_image(
     return canvas, (nh // patch_size, nw // patch_size)
 
 
+def process_jpeg_file(
+    path: str,
+    canvas_hw: Tuple[int, int] = (384, 640),
+    patch_size: int = 32,
+    dct_prescale: bool = False,
+):
+    """Fully-native JPEG -> canvas path: C++ libjpeg decode
+    (climb_tpu/native/jpeg_decode.cpp) + C++ PIL-bit-exact bicubic resample
+    (climb_tpu/native/image_ops.cpp). Returns None when the native libraries
+    are unavailable or the file needs PIL (e.g. CMYK) — callers fall back to
+    ``process_image``.
+
+    dct_prescale=True additionally decodes big photos at a reduced DCT-domain
+    scale (the smallest scale8/8 that still covers the target dims — like
+    PIL's Image.draft). Faster, but then the resample input differs from the
+    full-resolution decode, so it is opt-in and off for parity-critical runs.
+    """
+    from climb_tpu.native import decode_jpeg, jpeg_dims, resize_into_canvas
+
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    dims = jpeg_dims(data)
+    if dims is None:
+        return None
+    h, w = dims
+    if h < 1 or w < 1:
+        return None
+    ch, cw = canvas_hw
+    nh, nw = vilt_resize_dims(h, w, max_h=ch, max_w=cw)
+
+    scale8 = 8
+    if dct_prescale:
+        while scale8 > 1 and ((h * (scale8 - 1) + 7) // 8 >= nh
+                              and (w * (scale8 - 1) + 7) // 8 >= nw):
+            scale8 -= 1
+    img = decode_jpeg(data, scale8)
+    if img is None:
+        return None
+    if img.shape[:2] == (nh, nw):
+        canvas = np.zeros((ch, cw, 3), np.uint8)
+        canvas[:nh, :nw] = img
+        return canvas, (nh // patch_size, nw // patch_size)
+    canvas = resize_into_canvas(img, (nh, nw), (ch, cw), "bicubic")
+    if canvas is None:
+        return None
+    return canvas, (nh // patch_size, nw // patch_size)
+
+
 def mean_image_canvas(
     mean_image, canvas_hw: Tuple[int, int] = (384, 640), patch_size: int = 32
 ):

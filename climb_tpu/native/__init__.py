@@ -33,6 +33,7 @@ def _load(name: str):
 
 _tok_lib = _load("libclimb_tokenizer.so")
 _img_lib = _load("libclimb_image.so")
+_jpg_lib = _load("libclimb_jpeg.so")
 
 if _tok_lib is not None:
     _tok_lib.wp_create.restype = ctypes.c_void_p
@@ -57,8 +58,68 @@ if _img_lib is not None:
     ]
 
 
+if _jpg_lib is not None:
+    _jpg_lib.jpg_dims.restype = ctypes.c_int
+    _jpg_lib.jpg_dims.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    _jpg_lib.jpg_decode.restype = ctypes.c_int
+    _jpg_lib.jpg_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+
+
 def native_available() -> dict:
-    return {"tokenizer": _tok_lib is not None, "image": _img_lib is not None}
+    return {
+        "tokenizer": _tok_lib is not None,
+        "image": _img_lib is not None,
+        "jpeg": _jpg_lib is not None,
+    }
+
+
+def jpeg_dims(data: bytes):
+    """(height, width) from the JPEG header, or None if unavailable/invalid."""
+    if _jpg_lib is None:
+        return None
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if _jpg_lib.jpg_dims(buf, len(data), ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    return h.value, w.value
+
+
+def decode_jpeg(data: bytes, scale8: int = 8) -> Optional[np.ndarray]:
+    """Decode JPEG bytes to an RGB8 (H, W, 3) array via libjpeg.
+
+    scale8 in [1, 8] decodes at scale8/8 resolution in the DCT domain
+    (dimensions rounded up). Returns None when the native library is missing
+    or the data can't be decoded natively (e.g. CMYK JPEGs — callers fall
+    back to PIL)."""
+    if _jpg_lib is None:
+        return None
+    dims = jpeg_dims(data)
+    if dims is None:
+        return None
+    fh, fw = dims
+    oh = (fh * scale8 + 7) // 8
+    ow = (fw * scale8 + 7) // 8
+    out = np.empty((oh, ow, 3), np.uint8)
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = _jpg_lib.jpg_decode(
+        buf, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.nbytes,
+        ctypes.byref(h), ctypes.byref(w), scale8,
+    )
+    if rc != 0:
+        return None
+    if (h.value, w.value) != (oh, ow):  # libjpeg rounding differed: re-wrap
+        out = out.reshape(-1)[: h.value * w.value * 3].reshape(h.value, w.value, 3)
+    return out
 
 
 class NativeWordPieceTokenizer:

@@ -15,6 +15,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 TARGETS = [
     ("tokenizer.cpp", "libclimb_tokenizer.so", []),
     ("image_ops.cpp", "libclimb_image.so", ["-fopenmp"]),
+    ("jpeg_decode.cpp", "libclimb_jpeg.so", ["-ljpeg"]),
 ]
 
 
@@ -27,7 +28,8 @@ def build(verbose: bool = True) -> bool:
             if verbose:
                 print(f"{out} up to date")
             continue
-        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", *extra, "-o", out_path, src_path]
+        # extras go after the source so -l libraries link correctly
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-o", out_path, src_path, *extra]
         if verbose:
             print(" ".join(cmd))
         try:

@@ -78,3 +78,85 @@ def test_native_resize_canvas_padding(native, rng):
     assert out.shape == (64, 96, 3)
     assert out[:, 64:].sum() == 0  # right padding zeroed
     assert out[:, :64].sum() > 0
+
+
+def _smooth_rgb(rng, h, w):
+    arr = np.cumsum(np.cumsum(rng.randn(h, w, 3), 0), 1)
+    return ((arr - arr.min()) / (arr.max() - arr.min() + 1e-9) * 255).astype(np.uint8)
+
+
+def test_native_jpeg_decode_matches_pil(native, rng):
+    """Full-resolution libjpeg decode is bit-exact with PIL for RGB and
+    grayscale baseline JPEGs (both use the islow IDCT)."""
+    import io
+
+    from PIL import Image
+
+    for h, w in ((300, 450), (97, 131)):
+        arr = _smooth_rgb(rng, h, w)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG", quality=90)
+        data = buf.getvalue()
+        assert native.jpeg_dims(data) == (h, w)
+        mine = native.decode_jpeg(data)
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(mine, ref)
+
+    gray = io.BytesIO()
+    Image.fromarray(_smooth_rgb(rng, 120, 80)[:, :, 0]).save(gray, "JPEG")
+    mine = native.decode_jpeg(gray.getvalue())
+    ref = np.asarray(Image.open(io.BytesIO(gray.getvalue())).convert("RGB"))
+    np.testing.assert_array_equal(mine, ref)
+
+
+def test_native_jpeg_dct_prescale_dims(native, rng):
+    """scale8/8 DCT-domain decode produces ceil(dim*scale8/8) output."""
+    import io
+
+    from PIL import Image
+
+    arr = _smooth_rgb(rng, 301, 453)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG")
+    for s in (1, 2, 4, 5, 8):
+        out = native.decode_jpeg(buf.getvalue(), scale8=s)
+        assert out.shape == ((301 * s + 7) // 8, (453 * s + 7) // 8, 3), s
+
+
+def test_native_jpeg_invalid_input(native):
+    assert native.jpeg_dims(b"not a jpeg") is None
+    assert native.decode_jpeg(b"\xff\xd8\xff\xe0garbage") is None
+
+
+def test_process_jpeg_file_matches_pil_path(native, rng, tmp_path):
+    """The fully-native JPEG->canvas path equals the PIL decode + process_image
+    path bit for bit (decode exact + resample bit-exact)."""
+    from PIL import Image
+
+    from climb_tpu.data.image_pipeline import process_image, process_jpeg_file
+
+    for i, (h, w) in enumerate(((480, 720), (333, 217), (64, 64))):
+        arr = _smooth_rgb(rng, h, w)
+        p = tmp_path / f"img{i}.jpg"
+        Image.fromarray(arr).save(p, "JPEG", quality=92)
+        native_out = process_jpeg_file(str(p))
+        assert native_out is not None
+        with Image.open(p) as img:
+            pil_out = process_image(img)
+        assert native_out[1] == pil_out[1]  # patch_hw
+        diff = np.abs(native_out[0].astype(int) - pil_out[0].astype(int))
+        assert diff.max() <= 2, f"{(h, w)}: canvas max diff {diff.max()}"
+
+
+def test_backbone_uses_native_jpeg_path(native, rng, tmp_path):
+    from PIL import Image
+
+    from climb_tpu.data.image_backbones import CanvasImageProvider
+
+    arr = _smooth_rgb(rng, 200, 320)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(arr).save(p, "JPEG")
+    prov = CanvasImageProvider()
+    canvas, patch_hw = prov.load_canvas(str(p))
+    assert canvas.shape == (384, 640, 3)
+    assert patch_hw == (12, 18) or patch_hw[0] <= 12  # resized to canvas
