@@ -57,6 +57,11 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         help="Unroll factor for the encoder layer scan; full "
                              "unroll (=num_layers) trades compile time for "
                              "~25%% step-time reduction on TPU.")
+    parser.add_argument("--worker_mode", type=str, default="thread",
+                        choices=["thread", "process"],
+                        help="Host loader workers: threads (native decode "
+                             "releases the GIL) or fork()ed processes (for "
+                             "GIL-bound pipelines).")
     parser.add_argument("--n_model", type=int, default=1,
                         help="Tensor-parallel width of the device mesh (data axis gets the rest).")
     parser.add_argument("--use_mesh", action="store_true",

@@ -4,14 +4,39 @@ Replaces torch ``DataLoader`` (num_workers=2 in the reference,
 SURVEY.md section 3.1) with a thread-pool loader producing numpy batch dicts
 of *static shapes* (last partial batch padded + 'valid' mask), prefetched a
 few batches ahead so the device never waits on the host.
+
+Two worker modes:
+- ``"thread"`` (default): a ThreadPoolExecutor. The heavy per-example work
+  (libjpeg decode, C++ resample, np ops) releases the GIL, so threads
+  parallelize well and batches need no serialization.
+- ``"process"``: a fork()-based multiprocessing pool for pipelines whose
+  Python-side work is GIL-bound (pure-Python tokenization fallbacks, heavy
+  dict building). The dataset is inherited by fork — nothing is pickled
+  except the index arrays in and the collated numpy batches out. Falls back
+  to threads where fork is unavailable. Caveat: fork()ing after JAX has
+  started its runtime threads is only safe because worker children never
+  touch JAX — datasets/collates are numpy-only by design; keep it that way.
 """
 
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
+
+# State inherited by fork()ed pool workers; guarded by _FORK_LOCK while a
+# pool is being constructed (workers fork eagerly at Pool() creation, so the
+# global only needs to be stable until the constructor returns).
+_FORK_STATE = None
+_FORK_LOCK = threading.Lock()
+
+
+def _process_worker_make_batch(indices):
+    dataset, collate_fn, batch_size = _FORK_STATE
+    examples = [dataset[int(i)] for i in indices]
+    return pad_batch(collate_fn(examples), batch_size)
 
 
 def pad_batch(batch: dict, target_bs: int) -> dict:
@@ -54,6 +79,7 @@ class DataLoader:
         epoch: int = 0,
         host_id: Optional[int] = None,
         host_count: Optional[int] = None,
+        worker_mode: str = "thread",
     ):
         """host_id/host_count: per-host sharding for multi-host meshes — each
         host iterates a disjoint stripe of the (seed+epoch-shuffled) index
@@ -69,6 +95,10 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.epoch = epoch
+        assert worker_mode in ("thread", "process"), worker_mode
+        if worker_mode == "process" and "fork" not in multiprocessing.get_all_start_methods():
+            worker_mode = "thread"
+        self.worker_mode = worker_mode
         if host_count is None:
             try:
                 import jax
@@ -114,12 +144,44 @@ class DataLoader:
         stop_evt = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [pool.submit(self._make_batch, b) for b in batches]
-                for fut in futures:
-                    if stop_evt.is_set():
-                        break
-                    q.put(fut.result())
+            # Bounded readahead: at most num_workers + prefetch batches are
+            # in flight, so a slow consumer throttles the workers instead of
+            # the whole epoch accumulating in RAM.
+            from collections import deque
+
+            inflight = deque()
+            it = iter(batches)
+
+            if self.worker_mode == "process":
+                global _FORK_STATE
+                with _FORK_LOCK:
+                    _FORK_STATE = (self.dataset, self.collate_fn, self.batch_size)
+                    pool = multiprocessing.get_context("fork").Pool(self.num_workers)
+                submit = lambda b: pool.apply_async(_process_worker_make_batch, (b,))
+                fetch = lambda f: f.get()
+            else:
+                pool = ThreadPoolExecutor(self.num_workers)
+                submit = lambda b: pool.submit(self._make_batch, b)
+                fetch = lambda f: f.result()
+
+            def top_up():
+                while len(inflight) < self.num_workers + self.prefetch:
+                    try:
+                        inflight.append(submit(next(it)))
+                    except StopIteration:
+                        return
+
+            try:
+                top_up()
+                while inflight and not stop_evt.is_set():
+                    q.put(fetch(inflight.popleft()))
+                    top_up()
+            finally:
+                if self.worker_mode == "process":
+                    pool.terminate()
+                    pool.join()
+                else:
+                    pool.shutdown(wait=False, cancel_futures=True)
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

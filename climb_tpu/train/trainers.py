@@ -116,10 +116,12 @@ class VLTaskTrainer(TaskTrainer):
             shuffle=True,
             seed=getattr(self.args, "seed", 42),
             num_workers=getattr(self.args, "num_workers", 2),
+            worker_mode=getattr(self.args, "worker_mode", "thread"),
         )
         self.eval_dataloader = DataLoader(
             self.eval_dataset, self.batch_size, stack_collate, shuffle=False,
             num_workers=getattr(self.args, "num_workers", 2),
+            worker_mode=getattr(self.args, "worker_mode", "thread"),
         )
 
     def _convert_low_shot(self):

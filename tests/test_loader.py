@@ -1,0 +1,104 @@
+"""Host loader: fixed shapes, padding masks, epoch shuffling, per-host
+sharding, and thread- vs process-worker equivalence."""
+
+import numpy as np
+import pytest
+
+from climb_tpu.data.collation import stack_collate
+from climb_tpu.data.loader import DataLoader, pad_batch
+
+
+class ToyDataset:
+    def __init__(self, n=23, d=5):
+        self.n, self.d = n, d
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full((self.d,), i, np.float32), "labels": np.int32(i % 3)}
+
+
+def _collect(loader):
+    return list(loader)
+
+
+def test_pad_batch_adds_valid_mask():
+    batch = {"x": np.ones((3, 4), np.float32)}
+    out = pad_batch(batch, 8)
+    assert out["x"].shape == (8, 4)
+    np.testing.assert_array_equal(out["valid"], [1, 1, 1, 0, 0, 0, 0, 0])
+
+
+@pytest.mark.parametrize("mode", ["thread", "process"])
+def test_loader_covers_dataset_fixed_shapes(mode):
+    ds = ToyDataset(23)
+    loader = DataLoader(ds, 8, stack_collate, shuffle=False, num_workers=2,
+                        worker_mode=mode)
+    batches = _collect(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["x"].shape == (8, 5)  # static even for the last partial
+    seen = np.concatenate([b["x"][b["valid"] > 0, 0] for b in batches])
+    np.testing.assert_array_equal(np.sort(seen), np.arange(23))
+
+
+def test_thread_and_process_modes_identical():
+    ds = ToyDataset(23)
+    kw = dict(shuffle=True, seed=7, num_workers=2)
+    a = _collect(DataLoader(ds, 8, stack_collate, worker_mode="thread", **kw))
+    b = _collect(DataLoader(ds, 8, stack_collate, worker_mode="process", **kw))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
+
+
+def test_epoch_changes_shuffle_order():
+    ds = ToyDataset(32)
+    loader = DataLoader(ds, 8, stack_collate, shuffle=True, seed=0)
+    first = np.concatenate([b["x"][:, 0] for b in loader])
+    loader.set_epoch(1)
+    second = np.concatenate([b["x"][:, 0] for b in loader])
+    assert not np.array_equal(first, second)
+    np.testing.assert_array_equal(np.sort(first), np.sort(second))
+
+
+def test_host_sharding_partitions_examples():
+    ds = ToyDataset(24)
+    parts = []
+    for hid in range(2):
+        loader = DataLoader(ds, 4, stack_collate, shuffle=False,
+                            host_id=hid, host_count=2)
+        parts.append(np.concatenate([b["x"][b["valid"] > 0, 0] for b in loader]))
+    assert len(parts[0]) == len(parts[1]) == 12
+    assert not set(parts[0]) & set(parts[1])
+    assert set(parts[0]) | set(parts[1]) == set(range(24))
+
+
+def test_bounded_readahead():
+    """Workers must not race the whole epoch ahead of a slow consumer."""
+    import threading
+    import time
+
+    built = []
+    lock = threading.Lock()
+
+    class TrackingDataset(ToyDataset):
+        def __getitem__(self, i):
+            with lock:
+                built.append(i)
+            return super().__getitem__(i)
+
+    ds = TrackingDataset(64)
+    loader = DataLoader(ds, 4, stack_collate, shuffle=False, num_workers=2,
+                        prefetch=2)
+    it = iter(loader)
+    next(it)
+    time.sleep(0.5)  # give workers time to (wrongly) run ahead
+    with lock:
+        n_built = len(built)
+    # 2 workers + prefetch 2 + 1 consumed + queue slack => far below 64
+    assert n_built <= 4 * (2 + 2 + 1 + 2), n_built
+    for _ in it:
+        pass
