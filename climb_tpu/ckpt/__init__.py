@@ -3,8 +3,11 @@ from climb_tpu.ckpt.checkpoint import (
     load_params,
     save_task_checkpoint,
     load_task_checkpoint,
+    save_train_state,
+    load_train_state,
     partial_load,
     task_checkpoint_exists,
+    task_dir,
 )
 
 __all__ = [
@@ -12,6 +15,9 @@ __all__ = [
     "load_params",
     "save_task_checkpoint",
     "load_task_checkpoint",
+    "save_train_state",
+    "load_train_state",
     "partial_load",
     "task_checkpoint_exists",
+    "task_dir",
 ]

@@ -40,6 +40,31 @@ def load_params(path: str) -> dict:
         return serialization.msgpack_restore(f.read())
 
 
+def save_train_state(state, meta: dict, path: str):
+    """Atomic save of the FULL training state (params + optimizer moments +
+    step) plus host metadata — enables mid-task elastic resume, which the
+    reference cannot do (SURVEY.md section 5.3: optimizer state lives only in
+    RAM there; recovery granularity is a whole task)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "state": serialization.to_state_dict(_to_host(state)),
+        "meta": {k: np.asarray(v) for k, v in meta.items()},
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
+
+
+def load_train_state(template_state, path: str):
+    """Restore (state, meta) saved by save_train_state; `template_state` is a
+    freshly-created TrainState providing the pytree structure."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    state = serialization.from_state_dict(template_state, payload["state"])
+    return state, payload["meta"]
+
+
 def task_dir(output_dir: str, task_num: int, task_key: str) -> str:
     return os.path.join(output_dir, "checkpoints", f"task{task_num}_{task_key}")
 

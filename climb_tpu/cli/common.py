@@ -57,6 +57,11 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         help="Unroll factor for the encoder layer scan; full "
                              "unroll (=num_layers) trades compile time for "
                              "~25%% step-time reduction on TPU.")
+    parser.add_argument("--save_state_epochs", type=int, default=1,
+                        help="Every N epochs, checkpoint the FULL train state "
+                             "(params + optimizer moments + rng) for mid-task "
+                             "elastic resume; 0 disables (the reference can "
+                             "only resume at task granularity).")
     parser.add_argument("--worker_mode", type=str, default="thread",
                         choices=["thread", "process"],
                         help="Host loader workers: threads (native decode "

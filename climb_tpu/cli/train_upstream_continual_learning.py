@@ -139,6 +139,7 @@ def main(argv=None):
         partial_load,
         save_task_checkpoint,
         task_checkpoint_exists,
+        task_dir,
     )
     from climb_tpu.cl import (
         EWC,
@@ -205,6 +206,9 @@ def main(argv=None):
         for task_num, task_key in enumerate(args.ordered_cl_tasks):
             task_name = task_configs[task_key]["task_name"]
             trainer_cls = get_task_trainer_class(task_configs[task_key]["trainer"])
+            # enable mid-task elastic resume (epoch-granular full-state
+            # checkpoints into the task's checkpoint dir)
+            args.task_ckpt_dir = task_dir(output_dir, task_num, task_key)
             task_trainer = trainer_cls(args, task_configs, model_config)
 
             if task_checkpoint_exists(output_dir, task_num, task_key):

@@ -184,7 +184,41 @@ class VLTaskTrainer(TaskTrainer):
         profile_dir = getattr(self.args, "profile_dir", None)
         from climb_tpu.data.loader import device_prefetch
 
-        for epoch in range(1, self.num_epochs + 1):
+        # -- elastic mid-task resume (beyond-reference capability) ------------
+        # With save_state_epochs > 0 and a task checkpoint dir, the FULL train
+        # state (params + AdamW moments + rng + best tracking) is saved each
+        # epoch and restored here, so a killed run resumes at the epoch
+        # boundary with a bit-identical trajectory (loader shuffling is
+        # stateless in (seed, epoch); the dropout rng chain is restored).
+        import os as _os
+
+        from climb_tpu.ckpt.checkpoint import (
+            load_params,
+            load_train_state,
+            save_params,
+            save_train_state,
+        )
+
+        ckpt_dir = getattr(self.args, "task_ckpt_dir", None)
+        save_every = int(getattr(self.args, "save_state_epochs", 0) or 0)
+        state_path = _os.path.join(ckpt_dir, "train_state") if ckpt_dir else None
+        best_path = _os.path.join(ckpt_dir, "best_model") if ckpt_dir else None
+        start_epoch = 1
+        if state_path and save_every and _os.path.exists(state_path):
+            state, meta = load_train_state(state, state_path)
+            start_epoch = int(meta["epoch"]) + 1
+            global_step = int(meta["global_step"])
+            best_score = float(meta["best_score"])
+            self.best_epoch = int(meta["best_epoch"])
+            self.rng = jnp.asarray(meta["rng"])
+            if self.best_epoch > 0 and _os.path.exists(best_path):
+                best_params = load_params(best_path)
+            logger.info(
+                "task=%s: resuming from epoch %d (step %d, best %.2f @ epoch %d)",
+                self.task_key, start_epoch, global_step, best_score, self.best_epoch,
+            )
+
+        for epoch in range(start_epoch, self.num_epochs + 1):
             self.train_dataloader.set_epoch(epoch)
             t0, seen = time.time(), 0
             batches = device_prefetch(
@@ -229,10 +263,26 @@ class VLTaskTrainer(TaskTrainer):
                     best_score = score
                     self.best_epoch = epoch
                     best_params = jax.device_get(state.params)
+                    if best_path and save_every:
+                        save_params(best_params, best_path)
+            if state_path and save_every and epoch % save_every == 0:
+                save_train_state(
+                    state,
+                    {
+                        "epoch": epoch,
+                        "global_step": global_step,
+                        "best_score": best_score,
+                        "best_epoch": self.best_epoch,
+                        "rng": jax.device_get(self.rng),
+                    },
+                    state_path,
+                )
 
         if best_params is None:  # no eval epochs hit — keep final params
             best_params = jax.device_get(state.params)
             best_score = self.eval(state.params, model)
+        if state_path and _os.path.exists(state_path):
+            _os.remove(state_path)  # task completed; the task ckpt supersedes
         return best_score, model.with_params(best_params)
 
     # -- evaluation ----------------------------------------------------------
