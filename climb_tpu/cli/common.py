@@ -44,7 +44,12 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         choices=["float32", "bfloat16"],
                         help="Compute dtype for the encoder.")
     parser.add_argument("--attn_impl", type=str, default="xla",
-                        choices=["xla", "pallas"], help="Attention kernel implementation.")
+                        choices=["xla", "xla_ckpt", "pallas"],
+                        help="Attention kernel implementation.")
+    parser.add_argument("--mlp_impl", type=str, default="xla",
+                        choices=["xla", "pallas"],
+                        help="MLP kernel implementation (pallas = fused "
+                             "Dense->GELU->Dense).")
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize encoder blocks (trade FLOPs for HBM).")
     parser.add_argument("--remat_policy", type=str, default="full",

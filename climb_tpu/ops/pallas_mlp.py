@@ -54,7 +54,58 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
 
 
 def fused_mlp(x, w1, b1, w2, b2, tile_rows: int = 256):
-    """x: (..., D); w1: (D, F); w2: (F, D). Returns (..., D)."""
+    """x: (..., D); w1: (D, F); w2: (F, D). Returns (..., D).
+
+    Differentiable: forward is the fused Pallas kernel; backward is XLA
+    einsums that *recompute* the (rows, F) intermediate from the saved
+    inputs (remat-style — the big activation is never stored), matching
+    the selective-remat training configuration.
+    """
+    return _fused_mlp_vjp(x, w1, b1, w2, b2, tile_rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_mlp_vjp(x, w1, b1, w2, b2, tile_rows):
+    return _fused_mlp_impl(x, w1, b1, w2, b2, tile_rows)
+
+
+def _fused_mlp_fwd(x, w1, b1, w2, b2, tile_rows):
+    return _fused_mlp_impl(x, w1, b1, w2, b2, tile_rows), (x, w1, b1, w2)
+
+
+def _gelu_grad(h):
+    # d/dh [0.5 h (1 + erf(h/sqrt2))] = 0.5 (1 + erf(h/sqrt2)) + h pdf(h)
+    inv_sqrt2 = 0.7071067811865476
+    pdf = jnp.exp(-0.5 * h * h) * 0.3989422804014327
+    return 0.5 * (1.0 + jax.lax.erf(h * inv_sqrt2)) + h * pdf
+
+
+def _fused_mlp_bwd(tile_rows, res, dy):
+    x, w1, b1, w2 = res
+    orig_shape = x.shape
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    dy2 = dy.reshape(-1, d)
+    # recompute the intermediate in f32 (never materialized in forward)
+    h1 = (
+        jnp.dot(x2, w1, preferred_element_type=jnp.float32)
+        + b1.astype(jnp.float32)
+    )
+    g = _erf_gelu(h1).astype(x.dtype)
+    dg = jnp.dot(dy2, w2.T, preferred_element_type=jnp.float32)
+    dh1 = (dg * _gelu_grad(h1)).astype(x.dtype)
+    dx = jnp.dot(dh1, w1.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    dw1 = jnp.dot(x2.T, dh1, preferred_element_type=jnp.float32).astype(w1.dtype)
+    db1 = dh1.astype(jnp.float32).sum(0).astype(b1.dtype)
+    dw2 = jnp.dot(g.T, dy2, preferred_element_type=jnp.float32).astype(w2.dtype)
+    db2 = dy2.astype(jnp.float32).sum(0).astype(b1.dtype)
+    return dx.reshape(orig_shape), dw1, db1, dw2, db2
+
+
+_fused_mlp_vjp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+def _fused_mlp_impl(x, w1, b1, w2, b2, tile_rows: int = 256):
     orig_shape = x.shape
     d = x.shape[-1]
     f = w1.shape[-1]

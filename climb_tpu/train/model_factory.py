@@ -34,6 +34,7 @@ def vilt_config_from_args(args, needs_three_modalities: bool) -> ViltConfig:
         modality_type_vocab_size=3 if needs_three_modalities else 2,
         dtype=getattr(args, "compute_dtype", "float32"),
         attn_impl=getattr(args, "attn_impl", "xla"),
+        mlp_impl=getattr(args, "mlp_impl", "xla"),
         remat=getattr(args, "remat", False),
         remat_policy=getattr(args, "remat_policy", "full"),
         scan_unroll=getattr(args, "scan_unroll", 1),

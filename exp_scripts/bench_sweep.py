@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 CONFIGS = [
-    # (name, batch, remat, policy, accum)
+    # (name, batch, remat, policy, accum[, extra_args])
     ("remat_full_b64", 64, True, "full", 1),          # current bench config
     ("noremat_accum2_b64", 64, False, "full", 2),
     ("noremat_accum4_b64", 64, False, "full", 4),
@@ -42,21 +42,26 @@ CONFIGS = [
     ("selective_accum8_b64", 64, True, "selective", 8),  # 18
     ("noremat_accum8_b64", 64, False, "full", 8),        # 19
     ("selective_accum8_b128", 128, True, "selective", 8),  # 20
+    ("best_pallas_mlp", 64, True, "selective", 4, {"mlp_impl": "pallas"}),   # 21
+    ("best_pallas_attn", 64, True, "selective", 4, {"attn_impl": "pallas"}), # 22
 ]
 
 
-def run(name, batch, remat, policy, accum):
+def run(name, batch, remat, policy, accum, extra=None):
     from climb_tpu.configs import task_configs
     from climb_tpu.train import TrainState, create_cl_model, make_train_step
     from climb_tpu.train.optimizer import make_optimizer
 
-    args = SimpleNamespace(
+    kw = dict(
         batch_size=batch, seed=0,
         ordered_cl_tasks=["vqa", "nlvr2", "snli-ve", "vcr"],
         encoder_name="vilt", pretrained_model_name="scratch",
         tiny=False, synthetic=True, compute_dtype="bfloat16",
-        attn_impl="xla", remat=remat, remat_policy=policy, scan_unroll=12,
+        attn_impl="xla", mlp_impl="xla",
+        remat=remat, remat_policy=policy, scan_unroll=12,
     )
+    kw.update(extra or {})
+    args = SimpleNamespace(**kw)
     model = create_cl_model(args, task_configs)
     cfg = model.cfg
     tx = make_optimizer(model.params, lr=5e-5, total_steps=10_000, warmup_ratio=0.1)

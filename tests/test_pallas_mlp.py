@@ -44,3 +44,35 @@ def test_model_with_pallas_mlp_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(pooled_p), np.asarray(pooled_x), atol=5e-4, rtol=1e-3
     )
+
+
+def test_fused_mlp_gradients_match_xla(rng):
+    """custom-VJP backward (recompute-style) == autodiff through the XLA MLP."""
+    import jax
+    import jax.numpy as jnp
+
+    from climb_tpu.ops.pallas_mlp import fused_mlp
+
+    d, f, rows = 32, 64, 48
+    x = jnp.asarray(rng.randn(2, rows // 2, d), jnp.float32)
+    w1 = jnp.asarray(rng.randn(d, f) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.randn(f) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(f, d) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.randn(d) * 0.1, jnp.float32)
+    dy = jnp.asarray(rng.randn(2, rows // 2, d), jnp.float32)
+
+    def ref(x, w1, b1, w2, b2):
+        import flax.linen as nn
+
+        return nn.gelu(x @ w1 + b1, approximate=False) @ w2 + b2
+
+    def loss_p(*a):
+        return (fused_mlp(*a) * dy).sum()
+
+    def loss_r(*a):
+        return (ref(*a) * dy).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
