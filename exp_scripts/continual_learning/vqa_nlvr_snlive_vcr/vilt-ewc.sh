@@ -12,5 +12,6 @@ python -m climb_tpu.cli.train_upstream_continual_learning --encoder_name vilt \
     --do_train --do_eval \
     --output_dir $OUT_DIR \
     --do_wandb_logging \
-    --compute_dtype bfloat16 --remat \
+    --compute_dtype bfloat16 --remat --remat_policy selective \
+    --grad_accum_steps 4 --scan_unroll 12 \
     --batch_size 64 "$@"

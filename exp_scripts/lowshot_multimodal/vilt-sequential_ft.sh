@@ -8,5 +8,6 @@ python -m climb_tpu.cli.train_lowshot_multimodal --encoder_name vilt \
     --cl_algorithm sequential_ft \
     --climb_data_dir $DATA_DIR \
     --output_dir $OUT_DIR \
-    --compute_dtype bfloat16 --remat \
+    --compute_dtype bfloat16 --remat --remat_policy selective \
+    --grad_accum_steps 4 --scan_unroll 12 \
     --batch_size 64 "$@"
