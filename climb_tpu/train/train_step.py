@@ -118,13 +118,15 @@ def make_forward_fn(model, task_key: Optional[str]) -> Callable:
 
 
 def make_train_step(model, task_key: Optional[str], loss_type: str, compute_dtype=jnp.float32,
-                    grad_accum_steps: int = 1):
+                    grad_accum_steps: int = 1, accum_unroll: int = 1):
     """Build the jitted train step. Call as step(state, batch, rng[, ewc_ref]).
 
     grad_accum_steps > 1 splits the batch into that many microbatches and
-    averages their gradients inside one jitted step (a lax.scan) — the
-    memory-constrained way to keep the reference's global batch size on a
-    16G chip without rematerialization.
+    averages their gradients inside one jitted step (a lax.scan) — identical
+    optimizer trajectory to the whole-batch step, and on v5e the smaller live
+    activation sets schedule ~20% faster (exp_scripts/bench_sweep.py).
+    accum_unroll unrolls that scan so XLA may overlap one microbatch's
+    forward with the previous one's backward.
     """
     forward = make_forward_fn(model, task_key)
 
@@ -160,7 +162,8 @@ def make_train_step(model, task_key: Optional[str], loss_type: str, compute_dtyp
 
         zeros = jax.tree_util.tree_map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
         (grads, loss_sum), logits = jax.lax.scan(
-            body, (zeros, jnp.zeros((), jnp.float32)), (micro_batches, rngs)
+            body, (zeros, jnp.zeros((), jnp.float32)), (micro_batches, rngs),
+            unroll=min(accum_unroll, grad_accum_steps),
         )
         grads = jax.tree_util.tree_map(lambda g: g / grad_accum_steps, grads)
         logits = logits.reshape((-1,) + logits.shape[2:])
