@@ -74,3 +74,51 @@ def test_model_with_pallas_attention_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(pooled_p), np.asarray(pooled_x), atol=2e-5, rtol=1e-4
     )
+
+
+def test_blocked_forward_matches_xla(rng, monkeypatch):
+    """Force the KV-blocked (long-seq) path at small sizes and compare with
+    the XLA reference (multiple q/k blocks, masked tail)."""
+    import climb_tpu.ops.pallas_attention as pa
+
+    monkeypatch.setattr(pa, "WHOLE_SEQ_MAX", 128)
+    monkeypatch.setattr(pa, "BLOCK_Q", 128)
+    monkeypatch.setattr(pa, "BLOCK_K", 128)
+    b, s, h, d = 2, 300, 2, 64  # pads to 384 -> 3x3 blocks
+    q = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    mask = jnp.asarray((rng.rand(b, s) > 0.2).astype(np.float32))
+    bias = mask_to_bias(mask)
+    got = pa.flash_attention(q, k, v, bias)
+    want = mha_xla(q, k, v, bias)
+    valid = np.asarray(mask, bool)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], rtol=2e-5, atol=2e-5
+    )
+
+
+def test_blocked_backward_matches_xla(rng, monkeypatch):
+    import climb_tpu.ops.pallas_attention as pa
+
+    monkeypatch.setattr(pa, "WHOLE_SEQ_MAX", 128)
+    monkeypatch.setattr(pa, "BLOCK_Q", 128)
+    monkeypatch.setattr(pa, "BLOCK_K", 128)
+    b, s, h, d = 2, 256, 2, 64
+    q = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    mask = jnp.asarray((rng.rand(b, s) > 0.2).astype(np.float32))
+    bias = mask_to_bias(mask)
+    co = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+
+    def loss_p(q, k, v):
+        return (pa.flash_attention(q, k, v, bias) * co).sum()
+
+    def loss_x(q, k, v):
+        return (mha_xla(q, k, v, bias) * co).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=3e-4, atol=3e-4)
