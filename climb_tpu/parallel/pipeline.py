@@ -75,6 +75,7 @@ def pipeline_layers(
     n_micro: int,
     mesh: Mesh,
     axis: str = PIPE_AXIS,
+    batch_axis: str = None,
 ):
     """Apply L stacked layers to a batch, pipelined over `axis` of `mesh`.
 
@@ -85,12 +86,20 @@ def pipeline_layers(
     stacked_params: pytree, every leaf with leading axis L (L % n_stages == 0).
     inputs: pytree of arrays with a common leading batch axis B
         (B % n_micro == 0).
+    batch_axis: optional second mesh axis to shard the batch over — composes
+        data parallelism with the pipeline on a 2-D ('data', 'pipe') mesh:
+        every data slice runs its own GPipe schedule on its batch shard
+        (params are replicated across 'data' and stage-sharded across 'pipe').
 
     Returns the same pytree with every layer applied, equal to the sequential
     ``lax.scan`` over all L layers.
     """
     n_stages = mesh.shape[axis]
     batch = jax.tree_util.tree_leaves(inputs)[0].shape[0]
+    if batch_axis is not None:
+        n_data = mesh.shape[batch_axis]
+        assert batch % n_data == 0, f"batch {batch} % {batch_axis}={n_data} != 0"
+        batch = batch // n_data  # per-slice batch below
     assert batch % n_micro == 0, f"batch {batch} % n_micro {n_micro} != 0"
     mb = batch // n_micro
     n_ticks = n_micro + n_stages - 1
@@ -98,8 +107,9 @@ def pipeline_layers(
     param_specs = jax.tree_util.tree_map(
         lambda x: P(*([axis] + [None] * (x.ndim - 1))), stacked_params
     )
-    in_specs = jax.tree_util.tree_map(lambda x: P(), inputs)
-    out_specs = jax.tree_util.tree_map(lambda x: P(), inputs)
+    batch_spec = lambda x: P(*([batch_axis] + [None] * (x.ndim - 1)))
+    in_specs = jax.tree_util.tree_map(batch_spec, inputs)
+    out_specs = jax.tree_util.tree_map(batch_spec, inputs)
 
     def stage_apply(local_params, state):
         def body(h, lp):

@@ -154,3 +154,24 @@ def test_pipeline_real_vilt_blocks(rng):
     )["x"]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     assert np.isfinite(np.asarray(seq_out)).all()
+
+
+def test_pipeline_composes_with_data_parallelism(rng):
+    """DP x PP on a ('data','pipe') 2x4 mesh: batch sharded over 'data',
+    stages over 'pipe'; output equals the sequential stack."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", PIPE_AXIS))
+    params = _stacked_mlp_params(rng)
+    batch = 8
+    inputs = {
+        "x": jnp.asarray(rng.randn(batch, D), jnp.float32),
+        "scale": jnp.ones((batch,), jnp.float32),
+    }
+    want = _sequential(params, inputs)
+    got = pipeline_layers(
+        _mlp_block, params, inputs, n_micro=2, mesh=mesh, batch_axis="data"
+    )
+    np.testing.assert_allclose(got["x"], want["x"], rtol=1e-6, atol=1e-6)
