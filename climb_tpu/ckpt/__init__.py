@@ -9,8 +9,16 @@ from climb_tpu.ckpt.checkpoint import (
     task_checkpoint_exists,
     task_dir,
 )
+from climb_tpu.ckpt.torch_import import (
+    convert_torch_state_dict,
+    is_torch_checkpoint,
+    load_reference_checkpoint,
+)
 
 __all__ = [
+    "convert_torch_state_dict",
+    "is_torch_checkpoint",
+    "load_reference_checkpoint",
     "save_params",
     "load_params",
     "save_task_checkpoint",

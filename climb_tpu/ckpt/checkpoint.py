@@ -36,6 +36,16 @@ def save_params(tree, path: str):
 
 
 def load_params(path: str) -> dict:
+    """Load a parameter tree. Accepts both our msgpack checkpoints and
+    reference (PyTorch CLiMB) ``torch.save`` state dicts — the latter are
+    auto-detected and converted (see ``ckpt/torch_import.py``), so users
+    migrating from the reference can point checkpoint flags at their
+    existing ``model``/``encoder`` files directly."""
+    from climb_tpu.ckpt.torch_import import is_torch_checkpoint, load_reference_checkpoint
+
+    if is_torch_checkpoint(path):
+        logger.info("Detected reference torch checkpoint at %s; converting", path)
+        return load_reference_checkpoint(path)
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 

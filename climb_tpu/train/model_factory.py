@@ -153,6 +153,13 @@ def load_encoder_params(checkpoint_name: str, cfg: ViltConfig,
 
     if checkpoint_name and os.path.isfile(checkpoint_name):
         ckpt = load_params(checkpoint_name)
+        # Reference torch checkpoints convert to a tree nested under 'vilt'
+        # (or 'viltbert'); this loader wants the bare encoder subtree.
+        if "word_embeddings" not in ckpt:
+            if "viltbert" in ckpt:
+                ckpt = ckpt["viltbert"]["vilt"]
+            elif "vilt" in ckpt:
+                ckpt = ckpt["vilt"]
         params, loaded, missing = partial_load(params, ckpt)
         logger.info("Encoder checkpoint %s: %d tensors loaded, %d from init",
                     checkpoint_name, len(loaded), len(missing))
