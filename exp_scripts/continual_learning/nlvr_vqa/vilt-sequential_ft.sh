@@ -1,0 +1,16 @@
+#!/bin/bash
+# Upstream CL: NLVR2 -> VQAv2, sequential fine-tuning.
+# (parity: reference exp_scripts/continual_learning/nlvr_vqa/vilt-sequential_ft.sh)
+DATA_DIR=${CLIMB_DATA_DIR:-/data/datasets/MCL/}
+OUT_DIR=${CLIMB_OUTPUT_DIR:-/data/experiments/MCL/}
+python -m climb_tpu.cli.train_upstream_continual_learning --encoder_name vilt \
+    --pretrained_model_name dandelin/vilt-b32-mlm \
+    --ordered_cl_tasks nlvr2,vqa \
+    --cl_algorithm sequential_ft \
+    --climb_data_dir $DATA_DIR \
+    --do_train --do_eval \
+    --output_dir $OUT_DIR \
+    --do_wandb_logging \
+    --compute_dtype bfloat16 --remat --remat_policy selective \
+    --grad_accum_steps 4 --scan_unroll 12 \
+    --batch_size 64 "$@"

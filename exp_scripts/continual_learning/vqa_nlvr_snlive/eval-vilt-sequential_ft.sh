@@ -1,0 +1,14 @@
+#!/bin/bash
+# Eval-only pass over VQAv2 -> NLVR2 -> SNLI-VE sequential_ft checkpoints.
+# (parity: reference exp_scripts/continual_learning/vqa_nlvr_snlive/eval-vilt-sequential_ft.sh)
+DATA_DIR=${CLIMB_DATA_DIR:-/data/datasets/MCL/}
+OUT_DIR=${CLIMB_OUTPUT_DIR:-/data/experiments/MCL/}
+python -m climb_tpu.cli.train_upstream_continual_learning --encoder_name vilt \
+    --pretrained_model_name dandelin/vilt-b32-mlm \
+    --ordered_cl_tasks vqa,nlvr2,snli-ve \
+    --cl_algorithm sequential_ft \
+    --climb_data_dir $DATA_DIR \
+    --do_eval \
+    --output_dir $OUT_DIR \
+    --do_wandb_logging \
+    --batch_size 64 "$@"

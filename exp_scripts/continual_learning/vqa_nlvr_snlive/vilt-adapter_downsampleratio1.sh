@@ -1,0 +1,19 @@
+#!/bin/bash
+# Upstream CL: VQAv2 -> NLVR2 -> SNLI-VE with Houlsby adapters, reduction factor 1.
+# (parity: reference exp_scripts/continual_learning/vqa_nlvr_snlive/vilt-adapter_downsampleratio1.sh)
+DATA_DIR=${CLIMB_DATA_DIR:-/data/datasets/MCL/}
+OUT_DIR=${CLIMB_OUTPUT_DIR:-/data/experiments/MCL/}
+python -m climb_tpu.cli.train_upstream_continual_learning --encoder_name vilt \
+    --pretrained_model_name dandelin/vilt-b32-mlm \
+    --ordered_cl_tasks vqa,nlvr2,snli-ve \
+    --cl_algorithm adapter \
+    --adapter_method vanilla \
+    --adapter_config houlsby \
+    --adapter_reduction_factor 1 \
+    --climb_data_dir $DATA_DIR \
+    --do_train --do_eval \
+    --output_dir $OUT_DIR \
+    --do_wandb_logging \
+    --compute_dtype bfloat16 --remat --remat_policy selective \
+    --grad_accum_steps 4 --scan_unroll 12 \
+    --batch_size 64 "$@"

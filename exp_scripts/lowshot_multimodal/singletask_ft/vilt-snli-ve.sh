@@ -1,0 +1,14 @@
+#!/bin/bash
+# Phase II low-shot transfer from the snli-ve single-task checkpoint.
+# (parity: reference exp_scripts/lowshot_multimodal/singletask-ft/vilt-snli_ve.sh)
+DATA_DIR=${CLIMB_DATA_DIR:-/data/datasets/MCL/}
+OUT_DIR=${CLIMB_OUTPUT_DIR:-/data/experiments/MCL/}
+python -m climb_tpu.cli.train_lowshot_multimodal --encoder_name vilt \
+    --pretrained_model_name dandelin/vilt-b32-mlm \
+    --ordered_cl_tasks snli-ve \
+    --cl_algorithm singletask_ft \
+    --climb_data_dir $DATA_DIR \
+    --output_dir $OUT_DIR \
+    --compute_dtype bfloat16 --remat --remat_policy selective \
+    --grad_accum_steps 4 --scan_unroll 12 \
+    --batch_size 64 "$@"

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Phase II low-shot transfer over the experience_replay upstream checkpoints.
+# (parity: reference exp_scripts/lowshot_multimodal/vqa_nlvr_snlive_vcr/vilt-experience_replay.sh)
+DATA_DIR=${CLIMB_DATA_DIR:-/data/datasets/MCL/}
+OUT_DIR=${CLIMB_OUTPUT_DIR:-/data/experiments/MCL/}
+python -m climb_tpu.cli.train_lowshot_multimodal --encoder_name vilt \
+    --pretrained_model_name dandelin/vilt-b32-mlm \
+    --ordered_cl_tasks vqa,nlvr2,snli-ve,vcr \
+    --cl_algorithm experience_replay \
+    --memory_percentage 0.01 \
+    --memory_sampling_strategy random \
+    --replay_frequency 100 \
+    --climb_data_dir $DATA_DIR \
+    --output_dir $OUT_DIR \
+    --compute_dtype bfloat16 --remat --remat_policy selective \
+    --grad_accum_steps 4 --scan_unroll 12 \
+    --batch_size 64 "$@"
