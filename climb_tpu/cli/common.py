@@ -62,6 +62,9 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         help="Unroll factor for the encoder layer scan; full "
                              "unroll (=num_layers) trades compile time for "
                              "~25%% step-time reduction on TPU.")
+    parser.add_argument("--fuse_qkv", action="store_true",
+                        help="Compute Q/K/V with one (D,3D) GEMM per block "
+                             "(checkpoint layout unchanged).")
     parser.add_argument("--save_state_epochs", type=int, default=1,
                         help="Every N epochs, checkpoint the FULL train state "
                              "(params + optimizer moments + rng) for mid-task "

@@ -50,6 +50,9 @@ class ViltConfig:
     remat: bool = False               # rematerialize encoder blocks
     remat_policy: str = "full"        # "full" | "dots" | "selective"
     scan_unroll: int = 1              # unroll factor for the layer scan
+    fuse_qkv: bool = False            # one (D, 3D) GEMM for Q/K/V (params
+    #                                   keep the q/k/v checkpoint layout;
+    #                                   kernels are concatenated at apply)
 
     @property
     def head_dim(self) -> int:

@@ -118,9 +118,22 @@ class ViltBlock(nn.Module):
         # --- attention sublayer ---
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="ln1")(x)
         b, s, d = h.shape
-        q = dense(d, "q")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = dense(d, "k")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        v = dense(d, "v")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        if cfg.fuse_qkv:
+            # One (D, 3D) GEMM instead of three (D, D) GEMMs. Parameters keep
+            # the q/k/v pytree layout (checkpoint/freeze/TP-spec compatible);
+            # the concatenated kernel is materialized by XLA outside the step's
+            # hot loop (weights are loop-invariant under scan unrolling).
+            kq, bq = _DenseParams(d, d, name="q")()
+            kk, bk = _DenseParams(d, d, name="k")()
+            kv, bv = _DenseParams(d, d, name="v")()
+            wqkv = jnp.concatenate([kq, kk, kv], axis=1).astype(dtype)
+            bqkv = jnp.concatenate([bq, bk, bv]).astype(dtype)
+            qkv = (h @ wqkv + bqkv).reshape(b, s, 3, cfg.num_heads, cfg.head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        else:
+            q = dense(d, "q")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
+            k = dense(d, "k")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
+            v = dense(d, "v")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
         ctx = multi_head_attention(q, k, v, mask_bias, impl=cfg.attn_impl)
         ctx = ctx.reshape(b, s, d)
         attn_out = dense(d, "attn_out")(ctx)

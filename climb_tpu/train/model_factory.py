@@ -38,6 +38,7 @@ def vilt_config_from_args(args, needs_three_modalities: bool) -> ViltConfig:
         remat=getattr(args, "remat", False),
         remat_policy=getattr(args, "remat_policy", "full"),
         scan_unroll=getattr(args, "scan_unroll", 1),
+        fuse_qkv=getattr(args, "fuse_qkv", False),
     )
     if getattr(args, "tiny", False):
         kw.update(

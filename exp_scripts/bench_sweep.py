@@ -44,6 +44,8 @@ CONFIGS = [
     ("selective_accum8_b128", 128, True, "selective", 8),  # 20
     ("best_pallas_mlp", 64, True, "selective", 4, {"mlp_impl": "pallas"}),   # 21
     ("best_pallas_attn", 64, True, "selective", 4, {"attn_impl": "pallas"}), # 22
+    ("best_fused_qkv", 64, True, "selective", 4, {"fuse_qkv": True}),        # 23
+    ("best_rerun", 64, True, "selective", 4),                                # 24 (control)
 ]
 
 
