@@ -11,14 +11,18 @@ from climb_tpu.ckpt.checkpoint import (
 )
 from climb_tpu.ckpt.torch_import import (
     convert_torch_state_dict,
+    export_torch_state_dict,
     is_torch_checkpoint,
     load_reference_checkpoint,
+    save_reference_checkpoint,
 )
 
 __all__ = [
     "convert_torch_state_dict",
+    "export_torch_state_dict",
     "is_torch_checkpoint",
     "load_reference_checkpoint",
+    "save_reference_checkpoint",
     "save_params",
     "load_params",
     "save_task_checkpoint",

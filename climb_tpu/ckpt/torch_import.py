@@ -144,3 +144,147 @@ def load_reference_checkpoint(path: str) -> dict:
     if not isinstance(sd, dict):
         raise ValueError(f"{path}: expected a state dict, got {type(sd)}")
     return convert_torch_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# Export (the reverse direction): climb-tpu param tree -> reference torch
+# state dict, so checkpoints trained here can be consumed by the reference's
+# GPU tooling (its eval_forgetting / Phase II loaders torch.load these,
+# train_upstream_continual_learning.py:222-240, train_language.py:278-279).
+# ---------------------------------------------------------------------------
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _unlinear(sd, prefix, p):
+    sd[f"{prefix}.weight"] = _t(p["kernel"]).T
+    sd[f"{prefix}.bias"] = _t(p["bias"])
+
+
+def _unlayernorm(sd, prefix, p):
+    sd[f"{prefix}.weight"] = _t(p["scale"])
+    sd[f"{prefix}.bias"] = _t(p["bias"])
+
+
+def _patch_kernel_to_conv(kernel: np.ndarray, channels: int = 3) -> np.ndarray:
+    """Dense (ph*pw*C, D) -> HF Conv2d (D, C, ph, pw) — inverse of
+    ``conv_kernel_to_patch_kernel`` (flattening order ph, pw, C)."""
+    rows, d = kernel.shape
+    ph = pw = int(round((rows // channels) ** 0.5))
+    assert ph * pw * channels == rows, f"non-square patch kernel: {kernel.shape}"
+    return np.ascontiguousarray(
+        kernel.reshape(ph, pw, channels, d).transpose(3, 2, 0, 1)
+    )
+
+
+def export_vilt_encoder(enc: dict) -> Dict[str, np.ndarray]:
+    """ViltCore params -> HF ViltModel state dict (inverse of import_hf_vilt)."""
+    sd: Dict[str, np.ndarray] = {}
+    sd["embeddings.text_embeddings.word_embeddings.weight"] = _t(enc["word_embeddings"])
+    sd["embeddings.text_embeddings.position_embeddings.weight"] = _t(
+        enc["text_position_embeddings"]
+    )
+    sd["embeddings.text_embeddings.token_type_embeddings.weight"] = _t(
+        enc["token_type_embeddings"]
+    )
+    _unlayernorm(sd, "embeddings.text_embeddings.LayerNorm", enc["text_layernorm"])
+    sd["embeddings.cls_token"] = _t(enc["cls_token"])
+    sd["embeddings.patch_embeddings.projection.weight"] = _patch_kernel_to_conv(
+        _t(enc["patch_projection"]["kernel"])
+    )
+    sd["embeddings.patch_embeddings.projection.bias"] = _t(enc["patch_projection"]["bias"])
+    sd["embeddings.position_embeddings"] = _t(enc["visual_position_embeddings"])[None]
+    sd["embeddings.token_type_embeddings.weight"] = _t(enc["modality_type_embeddings"])
+
+    stacked = enc["encoder"]
+    num_layers = _t(stacked["q"]["kernel"]).shape[0]
+    name_map = {
+        "ln1": ("layernorm_before", _unlayernorm),
+        "q": ("attention.attention.query", _unlinear),
+        "k": ("attention.attention.key", _unlinear),
+        "v": ("attention.attention.value", _unlinear),
+        "attn_out": ("attention.output.dense", _unlinear),
+        "ln2": ("layernorm_after", _unlayernorm),
+        "fc1": ("intermediate.dense", _unlinear),
+        "fc2": ("output.dense", _unlinear),
+    }
+    for i in range(num_layers):
+        for ours, (theirs, fn) in name_map.items():
+            leaf = {k: v[i] for k, v in stacked[ours].items()}
+            fn(sd, f"encoder.layer.{i}.{theirs}", leaf)
+
+    _unlayernorm(sd, "layernorm", enc["final_layernorm"])
+    _unlinear(sd, "pooler.dense", enc["pooler"])
+    return sd
+
+
+def _task_key_for_head(head_name: str) -> str:
+    """head_snli_ve -> snli-ve (resolve against the task registry; the
+    underscore/dash mapping is otherwise ambiguous)."""
+    raw = head_name[len("head_"):]
+    try:
+        from climb_tpu.configs.task_configs import task_configs
+
+        for key in task_configs:
+            if key.replace("-", "_") == raw:
+                return key
+    except Exception:
+        pass
+    return raw
+
+
+def export_heads(tree: dict) -> Dict[str, np.ndarray]:
+    """head_* params -> reference task_layer.<task>.<seq_idx>.* tensors."""
+    sd: Dict[str, np.ndarray] = {}
+    for name, p in tree.items():
+        if not name.startswith("head_"):
+            continue
+        task = _task_key_for_head(name)
+        if "fc1" in p:  # classification: Linear(0) LayerNorm(1) GELU(2) Linear(3)
+            sd[f"task_layer.{task}.0.weight"] = _t(p["fc1"]["kernel"]).T
+            sd[f"task_layer.{task}.0.bias"] = _t(p["fc1"]["bias"])
+            sd[f"task_layer.{task}.1.weight"] = _t(p["ln"]["scale"])
+            sd[f"task_layer.{task}.1.bias"] = _t(p["ln"]["bias"])
+            sd[f"task_layer.{task}.3.weight"] = _t(p["fc2"]["kernel"]).T
+            sd[f"task_layer.{task}.3.bias"] = _t(p["fc2"]["bias"])
+        else:  # multi-choice: Dropout(0) Linear(1)
+            sd[f"task_layer.{task}.1.weight"] = _t(p["fc"]["kernel"]).T
+            sd[f"task_layer.{task}.1.bias"] = _t(p["fc"]["bias"])
+    return sd
+
+
+def export_torch_state_dict(tree: dict, kind: str = "model") -> Dict[str, np.ndarray]:
+    """climb-tpu param tree -> reference torch state dict (numpy values).
+
+    kind='model'   -> ViltContinualLearner layout (vilt_encoder.vilt.* +
+                      task_layer.*), what the reference saves as '.../model'.
+    kind='encoder' -> encoder-wrapper layout (vilt.*), the '.../encoder' file.
+    kind='hf'      -> bare HF ViltModel layout (loadable with
+                      ViltModel.load_state_dict(strict=True)).
+    """
+    enc_tree = tree.get("vilt") or (tree.get("viltbert") or {}).get("vilt")
+    if enc_tree is None and "word_embeddings" in tree:
+        enc_tree = tree
+    if enc_tree is None:
+        raise ValueError("no encoder subtree ('vilt'/'viltbert') in param tree")
+    enc_sd = export_vilt_encoder(enc_tree)
+
+    if kind == "hf":
+        return enc_sd
+    prefix = {"model": "vilt_encoder.vilt.", "encoder": "vilt."}[kind]
+    sd = {prefix + k: v for k, v in enc_sd.items()}
+    if kind == "model":
+        sd.update(export_heads(tree))
+    return sd
+
+
+def save_reference_checkpoint(tree: dict, path: str, kind: str = "model"):
+    """Export and torch.save a climb-tpu param tree in reference layout."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state_dict(tree, kind).items()}
+    torch.save(sd, path)
+    logger.info("Exported reference-format torch checkpoint (%s) to %s", kind, path)

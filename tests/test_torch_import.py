@@ -161,3 +161,65 @@ def jax_leaves(tree):
     import jax
 
     return jax.tree_util.tree_leaves(tree)
+
+
+# --- export (reverse migration): our params -> reference torch layout -------
+
+
+def test_export_roundtrip_model():
+    """export(kind='model') then convert back == identity on every leaf."""
+    import jax
+
+    from climb_tpu.ckpt import convert_torch_state_dict, export_torch_state_dict
+
+    params = _tiny_model_params()
+    sd = export_torch_state_dict(params, kind="model")
+    assert any(k.startswith("vilt_encoder.vilt.") for k in sd)
+    assert "task_layer.snli-ve.0.weight" in sd and "task_layer.vcr.1.weight" in sd
+
+    back = convert_torch_state_dict(sd)
+    want = {k: v for k, v in params.items() if k == "vilt" or k.startswith("head_")}
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+        want, back,
+    )
+
+
+def test_export_hf_layout_strict_load(tmp_path):
+    """kind='hf' export must load into HF ViltModel with strict=True and
+    reproduce the source tensors exactly (transposes/reshapes inverted)."""
+    from transformers import ViltConfig as HFCfg, ViltModel
+
+    from climb_tpu.ckpt import export_torch_state_dict
+    from climb_tpu.models.hf_import import import_hf_vilt
+    from types import SimpleNamespace
+
+    torch.manual_seed(3)
+    hf = ViltModel(HFCfg(**TINY))
+    enc = import_hf_vilt(hf.state_dict(), SimpleNamespace(num_layers=2))
+    sd = export_torch_state_dict({"vilt": enc}, kind="hf")
+
+    hf2 = ViltModel(HFCfg(**TINY))
+    missing, unexpected = hf2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+    for k, v in hf.state_dict().items():
+        np.testing.assert_allclose(
+            hf2.state_dict()[k].numpy(), v.numpy(), atol=1e-6, err_msg=k
+        )
+
+
+def test_save_reference_checkpoint_loads_back(tmp_path):
+    from climb_tpu.ckpt import load_params, save_reference_checkpoint
+
+    params = _tiny_model_params()
+    path = str(tmp_path / "model")
+    save_reference_checkpoint(params, path, kind="model")
+    tree = load_params(path)  # auto-detects the torch file we just wrote
+    np.testing.assert_allclose(
+        np.asarray(tree["vilt"]["word_embeddings"]),
+        np.asarray(params["vilt"]["word_embeddings"]),
+        atol=1e-6,
+    )
