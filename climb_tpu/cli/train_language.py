@@ -72,23 +72,32 @@ def main(argv=None):
 
     task_config = task_configs[args.task_name]
     is_mc = args.task_name in MC_TASKS
-    model_catog = args.model_catog or ("vilt-l-mc" if is_mc else "vilt-l-seq")
+    prefix = "viltbert" if args.encoder_name == "viltbert" else "vilt"
+    model_catog = args.model_catog or (f"{prefix}-l-mc" if is_mc else f"{prefix}-l-seq")
     model_config = model_configs[model_catog]
     max_len = task_config["max_len"]
     num_labels = task_config["num_labels"]
 
+    is_viltbert = args.encoder_name == "viltbert"
     cfg = vilt_config_from_args(args, needs_three_modalities=False)
     params_enc, cfg = load_encoder_params(
         None if args.checkpoint_name in ("none", "scratch") else args.checkpoint_name,
-        cfg, args.pretrained_model_name, args.seed,
+        cfg, args.pretrained_model_name, args.seed, encoder_name=args.encoder_name,
     )
 
     # mean image; reallocate text/image budget for long-text tasks
-    # (reference train_language.py:67-84)
+    # (reference train_language.py:67-84; viltbert.py:60-85 reallocates the
+    # ViLT side only — BERT has 512 position slots already)
     img_size = None
     if max_len > cfg.max_text_len:
         img_size = (128, 128)
-        params_enc, cfg = reallocate_text_image(params_enc, cfg, max_len, img_size)
+        if is_viltbert:
+            params_enc = dict(params_enc)
+            params_enc["vilt"], cfg = reallocate_text_image(
+                params_enc["vilt"], cfg, max_len, img_size
+            )
+        else:
+            params_enc, cfg = reallocate_text_image(params_enc, cfg, max_len, img_size)
     mean_img = load_mean_image(args.mean_image_path, img_size)
     canvas, patch_hw = process_image(mean_img, (cfg.image_height, cfg.image_width))
     extra_batch = {
@@ -97,7 +106,12 @@ def main(argv=None):
     }
 
     model_type = "multi-choice" if is_mc else "classification"
-    module = ViltClassifier(cfg, num_labels=num_labels, model_type=model_type)
+    if is_viltbert:
+        from climb_tpu.models.viltbert import ViltBertClassifier
+
+        module = ViltBertClassifier(cfg, num_labels=num_labels, model_type=model_type)
+    else:
+        module = ViltClassifier(cfg, num_labels=num_labels, model_type=model_type)
     # init full classifier, graft encoder weights
     L = max_len
     if is_mc:
@@ -114,7 +128,14 @@ def main(argv=None):
         }
     variables = module.init(jax.random.PRNGKey(args.seed), init_batch)
     params = dict(variables["params"])
-    params["vilt"] = params_enc
+    trainable_mask = None
+    if is_viltbert:
+        from climb_tpu.models.viltbert import viltbert_frozen_mask
+
+        params["viltbert"] = params_enc
+        trainable_mask = viltbert_frozen_mask(params)
+    else:
+        params["vilt"] = params_enc
 
     if getattr(args, "synthetic", False):
         n_choices = num_labels if is_mc else None
@@ -145,7 +166,7 @@ def main(argv=None):
     loss_type = "mc_ce" if is_mc else "ce"
     best, test, best_epoch, _ = train_downstream(
         args, module, params, task_config, datasets, loss_type, cfg.compute_dtype,
-        extra_batch=extra_batch,
+        extra_batch=extra_batch, trainable_mask=trainable_mask,
     )
     upstream = upstream_name_from_checkpoint(args.checkpoint_name)
     out = write_downstream_results(

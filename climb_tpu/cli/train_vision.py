@@ -67,13 +67,19 @@ def main(argv=None):
     # coco-cls uses a percentage; others integer shots (train_vision.py:62-63)
     n_shot = args.num_shot if is_multilabel else (int(args.num_shot) if args.num_shot else None)
 
+    is_viltbert = args.encoder_name == "viltbert"
     cfg = vilt_config_from_args(args, needs_three_modalities=False)
     params_enc, cfg = load_encoder_params(
         None if args.checkpoint_name in ("none", "scratch") else args.checkpoint_name,
-        cfg, args.pretrained_model_name, args.seed,
+        cfg, args.pretrained_model_name, args.seed, encoder_name=args.encoder_name,
     )
 
-    module = ViltClassifier(cfg, num_labels=num_labels, model_type="classification")
+    if is_viltbert:
+        from climb_tpu.models.viltbert import ViltBertClassifier
+
+        module = ViltBertClassifier(cfg, num_labels=num_labels, model_type="classification")
+    else:
+        module = ViltClassifier(cfg, num_labels=num_labels, model_type="classification")
     init_batch = {
         "input_ids": np.zeros((2, cfg.max_text_len), np.int32),
         "text_mask": np.ones((2, cfg.max_text_len), np.float32),
@@ -82,7 +88,14 @@ def main(argv=None):
     }
     variables = module.init(jax.random.PRNGKey(args.seed), init_batch)
     params = dict(variables["params"])
-    params["vilt"] = params_enc
+    trainable_mask = None
+    if is_viltbert:
+        from climb_tpu.models.viltbert import viltbert_frozen_mask
+
+        params["viltbert"] = params_enc
+        trainable_mask = viltbert_frozen_mask(params)
+    else:
+        params["vilt"] = params_enc
 
     if getattr(args, "synthetic", False):
         from climb_tpu.data.synthetic import SyntheticVLDataset
@@ -122,7 +135,7 @@ def main(argv=None):
     # eval batch 128 like the reference's non-train loaders (imagenet:163)
     best, test, best_epoch, _ = train_downstream(
         args, module, params, task_config, datasets, loss_type, cfg.compute_dtype,
-        eval_batch_size=128,
+        eval_batch_size=128, trainable_mask=trainable_mask,
     )
     upstream = upstream_name_from_checkpoint(args.checkpoint_name)
     out = write_downstream_results(

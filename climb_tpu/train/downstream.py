@@ -73,8 +73,13 @@ def eval_classifier(model_module, params, dataset, batch_size, loss_type, comput
 
 
 def train_downstream(args, model_module, params, task_config, datasets, loss_type,
-                     compute_dtype, extra_batch=None, eval_batch_size=256):
-    """Train a ViltClassifier; returns (best_dev, test_score, best_epoch, params)."""
+                     compute_dtype, extra_batch=None, eval_batch_size=256,
+                     trainable_mask=None):
+    """Train a ViltClassifier; returns (best_dev, test_score, best_epoch, params).
+
+    ``trainable_mask`` (float pytree) zeroes optimizer updates for frozen
+    subtrees — the ViLT-BERT drivers pass ``viltbert_frozen_mask`` so the
+    frozen BERT text side never moves (reference viltbert.py:115-120)."""
     train_ds, val_ds, test_ds = datasets
     num_epochs = task_config["num_epochs"]
     train_loader = DataLoader(
@@ -89,6 +94,7 @@ def train_downstream(args, model_module, params, task_config, datasets, loss_typ
         warmup_ratio=task_config["warmup_ratio"],
         weight_decay=task_config["weight_decay"],
         adam_epsilon=task_config["adam_epsilon"],
+        trainable_mask=trainable_mask,
     )
     state = TrainState.create(apply_fn=model_module.apply, params=params, tx=tx)
     train_step = make_train_step(model_module, None, loss_type, compute_dtype)

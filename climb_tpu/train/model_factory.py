@@ -114,14 +114,21 @@ def create_cl_model(
 
 
 def load_encoder_params(checkpoint_name: str, cfg: ViltConfig,
-                        pretrained: str = "dandelin/vilt-b32-mlm", seed: int = 0):
+                        pretrained: str = "dandelin/vilt-b32-mlm", seed: int = 0,
+                        encoder_name: str = "vilt"):
     """Encoder-only parameter loading for Phase II drivers.
 
-    Parity: reference ``load_vilt_encoder`` (vilt.py:481-514): start from
-    pretrained (or random-init) ViLT, expand modality rows when the upstream
+    Parity: reference ``load_vilt_encoder`` (vilt.py:481-514) and
+    ``load_viltbert_encoder`` (viltbert.py:459-493): start from pretrained
+    (or random-init) weights, expand modality rows when the upstream
     checkpoint came from an NLVR2-containing run ('nlvr2' in the checkpoint
     path), then load the saved encoder state dict. Here the checkpoint is the
-    'encoder' msgpack exported by the Phase I driver.
+    'encoder' msgpack exported by the Phase I driver (or a reference torch
+    save, auto-converted by ``load_params``).
+
+    For ``encoder_name='vilt'`` returns the bare ViltCore subtree; for
+    ``'viltbert'`` returns ``{'vilt': ..., 'bert': ...}`` (the ViltBertCore
+    layout, BERT frozen by the caller's trainability mask).
     """
     import os
 
@@ -132,12 +139,17 @@ def load_encoder_params(checkpoint_name: str, cfg: ViltConfig,
     needs_three = checkpoint_name is not None and "nlvr2" in str(checkpoint_name)
     if needs_three:
         cfg = cfg.replace(modality_type_vocab_size=3)
-    core = ViltCore(cfg)
     batch = dummy_batch(cfg)
-    params = core.init(
+    if encoder_name == "viltbert":
+        from climb_tpu.models.viltbert import ViltBertCore
+
+        core = ViltBertCore(cfg)
+    else:
+        core = ViltCore(cfg)
+    params = dict(core.init(
         jax.random.PRNGKey(seed),
         batch["input_ids"], batch["text_mask"], batch["pixel_values"], batch["patch_hw"],
-    )["params"]
+    )["params"])
 
     if pretrained not in ("scratch", "", None):
         try:
@@ -148,19 +160,41 @@ def load_encoder_params(checkpoint_name: str, cfg: ViltConfig,
                 enc, _ = expand_modality_type_embeddings(
                     enc, cfg.replace(modality_type_vocab_size=2)
                 )
-            params, _, _ = partial_load(params, enc)
+            if encoder_name == "viltbert":
+                params["vilt"], _, _ = partial_load(params["vilt"], enc)
+            else:
+                params, _, _ = partial_load(params, enc)
         except Exception as e:
             logger.warning("pretrained %s unavailable (%s); random init", pretrained, e)
+    if encoder_name == "viltbert" and pretrained not in ("scratch", "", None):
+        try:  # frozen text side: bert-base-uncased (reference viltbert.py:476)
+            from transformers import BertModel
+
+            from climb_tpu.models.hf_import import import_hf_bert
+
+            bert = BertModel.from_pretrained("bert-base-uncased", add_pooling_layer=False)
+            params["bert"], _, _ = partial_load(
+                params["bert"], import_hf_bert(bert.state_dict(), cfg.num_layers)
+            )
+        except Exception as e:
+            logger.warning("bert-base-uncased unavailable (%s); BERT stays random", e)
 
     if checkpoint_name and os.path.isfile(checkpoint_name):
         ckpt = load_params(checkpoint_name)
-        # Reference torch checkpoints convert to a tree nested under 'vilt'
-        # (or 'viltbert'); this loader wants the bare encoder subtree.
-        if "word_embeddings" not in ckpt:
+        # Normalize the many accepted layouts to this loader's target:
+        # our encoder exports (bare core / {'vilt','bert'}), full-model trees,
+        # and converted reference torch checkpoints.
+        if encoder_name == "viltbert":
             if "viltbert" in ckpt:
-                ckpt = ckpt["viltbert"]["vilt"]
-            elif "vilt" in ckpt:
-                ckpt = ckpt["vilt"]
+                ckpt = ckpt["viltbert"]
+            elif "word_embeddings" in ckpt:  # bare ViLT core: graft vilt side
+                ckpt = {"vilt": ckpt}
+        else:
+            if "word_embeddings" not in ckpt:
+                if "viltbert" in ckpt:
+                    ckpt = ckpt["viltbert"]["vilt"]
+                elif "vilt" in ckpt:
+                    ckpt = ckpt["vilt"]
         params, loaded, missing = partial_load(params, ckpt)
         logger.info("Encoder checkpoint %s: %d tensors loaded, %d from init",
                     checkpoint_name, len(loaded), len(missing))

@@ -74,3 +74,85 @@ def test_vision_driver_acc_and_microf1(tmp_path, task):
     vision_main(argv)
     files = list(tmp_path.glob("*_results.json"))
     assert len(files) == 1
+
+
+def test_language_driver_viltbert_frozen_bert(tmp_path, monkeypatch):
+    """--encoder_name viltbert builds the frozen-BERT classifier (reference
+    lang/viltbert-seq.sh -> ViltBertForSequenceClassification,
+    viltbert.py:380): BERT params must not move during training while the
+    ViLT side does."""
+    import numpy as np
+
+    from climb_tpu.cli import train_language as tl
+    from climb_tpu.train import downstream
+
+    captured = {}
+    orig = downstream.train_downstream
+
+    def spy(args, module, params, *a, **kw):
+        import jax
+
+        # snapshot to host: the jitted step donates the state, deleting
+        # the original param buffers
+        captured["before"] = jax.tree_util.tree_map(
+            lambda x: np.array(x), params
+        )
+        out = orig(args, module, params, *a, **kw)
+        captured["after"] = out[3]
+        return out
+
+    # the driver imports train_downstream lazily from this module
+    monkeypatch.setattr(downstream, "train_downstream", spy)
+    tl.main([
+        "--encoder_name", "viltbert",
+        "--checkpoint_name", "scratch",
+        "--task_name", "sst2",
+        "--climb_data_dir", "/tmp/unused",
+        "--output_dir", str(tmp_path),
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--num_shot", "16", "--subsample_seed", "10",
+    ])
+    before, after = captured["before"], captured["after"]
+    assert "viltbert" in before and "bert" in before["viltbert"]
+
+    def total_delta(a, b):
+        import jax
+
+        return sum(
+            float(np.abs(np.asarray(x) - np.asarray(y)).sum())
+            for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    assert total_delta(before["viltbert"]["bert"], after["viltbert"]["bert"]) == 0.0
+    assert total_delta(before["viltbert"]["vilt"], after["viltbert"]["vilt"]) > 0.0
+
+
+def test_load_encoder_params_viltbert_layouts(tmp_path):
+    """viltbert encoder loading accepts our {'vilt','bert'} encoder exports
+    and bare ViLT-core checkpoints (vilt side grafted, BERT kept)."""
+    import numpy as np
+
+    from climb_tpu.ckpt import save_params
+    from climb_tpu.models.model_config import ViltConfig
+    from climb_tpu.train.model_factory import load_encoder_params
+
+    cfg = ViltConfig(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, image_height=64, image_width=96,
+        patch_size=32, pretrain_image_size=64,
+    )
+    params, _ = load_encoder_params(None, cfg, pretrained="scratch",
+                                    encoder_name="viltbert")
+    assert set(params) == {"vilt", "bert"}
+
+    # perturb + save in our encoder layout, reload
+    params["vilt"]["word_embeddings"] = params["vilt"]["word_embeddings"] + 1.0
+    p = str(tmp_path / "encoder")
+    save_params(params, p)
+    loaded, _ = load_encoder_params(p, cfg, pretrained="scratch",
+                                    encoder_name="viltbert")
+    np.testing.assert_allclose(
+        np.asarray(loaded["vilt"]["word_embeddings"]),
+        np.asarray(params["vilt"]["word_embeddings"]),
+    )
