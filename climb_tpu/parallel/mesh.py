@@ -16,6 +16,7 @@ from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+REPLICA_AXIS = "replica"  # across-slice (DCN) axis of multi-slice meshes
 
 
 def make_mesh(
@@ -37,3 +38,38 @@ def make_mesh(
     )
     arr = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_multislice_mesh(
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+    slice_count: Optional[int] = None,
+) -> Mesh:
+    """Hybrid DCN x ICI mesh for multi-slice pods: ('replica', 'data', 'model').
+
+    The 'replica' axis spans slices (DCN) and carries ONLY the data-parallel
+    gradient all-reduce (params are replicated across it — their specs never
+    name 'replica'); 'data' and 'model' stay within a slice so TP/SP
+    collectives and the intra-slice gradient reduce-scatter ride ICI. GSPMD
+    then reduces gradients hierarchically: reduce within slices first, then
+    one small all-reduce per tensor across the DCN.
+
+    Slice membership comes from ``device.slice_index`` on real multi-slice
+    TPU; pass ``slice_count`` to partition devices into contiguous groups
+    instead (CPU-mesh simulation, tests/test_mesh_training_equivalence.py).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if slice_count is None:
+        groups: dict = {}
+        for d in devices:
+            groups.setdefault(getattr(d, "slice_index", 0), []).append(d)
+        slices = [groups[k] for k in sorted(groups)]
+    else:
+        per = len(devices) // slice_count
+        assert per * slice_count == len(devices)
+        slices = [devices[i * per:(i + 1) * per] for i in range(slice_count)]
+    per_slice = len(slices[0])
+    assert all(len(s) == per_slice for s in slices), "uneven slices"
+    assert per_slice % n_model == 0, f"{per_slice} devices/slice not divisible by n_model={n_model}"
+    arr = np.asarray(slices).reshape(len(slices), per_slice // n_model, n_model)
+    return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))

@@ -22,7 +22,7 @@ from typing import Tuple
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from climb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from climb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, REPLICA_AXIS
 
 # (path-suffix, spec) rules; first match wins. Paths are tuples of str keys.
 _COL_SPLIT = {"q", "k", "v", "fc1"}  # kernel (…, in, out): shard out
@@ -56,18 +56,26 @@ def shard_params(params, mesh):
     return jax.device_put(params, param_sharding_rules(params, mesh))
 
 
-def batch_spec(leaf) -> P:
+def batch_spec(leaf, mesh=None) -> P:
     ndim = getattr(leaf, "ndim", 0)
     if ndim == 0:
         return P()
-    return P(*([DATA_AXIS] + [None] * (ndim - 1)))
+    # on a multi-slice mesh the batch splits over DCN replicas AND the
+    # intra-slice data axis (hierarchical data parallelism)
+    if mesh is not None and REPLICA_AXIS in getattr(mesh, "axis_names", ()):
+        lead = (REPLICA_AXIS, DATA_AXIS)
+    else:
+        lead = DATA_AXIS
+    return P(*([lead] + [None] * (ndim - 1)))
 
 
 def shard_batch(batch, mesh):
-    """Shard every batch leaf's leading axis across the 'data' axis."""
+    """Shard every batch leaf's leading axis across the data-parallel axes."""
     return jax.device_put(
         batch,
-        jax.tree_util.tree_map(lambda x: NamedSharding(mesh, batch_spec(x)), batch),
+        jax.tree_util.tree_map(
+            lambda x: NamedSharding(mesh, batch_spec(x, mesh)), batch
+        ),
     )
 
 

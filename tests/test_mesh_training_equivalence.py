@@ -60,3 +60,10 @@ def test_trajectory_matches(rng):
     np.testing.assert_allclose(sharded, single, rtol=2e-4)
     # the trajectory must actually be training (loss moving)
     assert single[0] != single[-1]
+
+    # multi-slice: 2 simulated DCN replicas x (2 data x 2 model) per slice —
+    # hierarchical DP must reproduce the same trajectory too
+    from climb_tpu.parallel.mesh import make_multislice_mesh
+
+    multislice = run(make_multislice_mesh(n_model=2, slice_count=2))
+    np.testing.assert_allclose(multislice, single, rtol=2e-4)
