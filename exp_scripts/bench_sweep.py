@@ -46,6 +46,7 @@ CONFIGS = [
     ("best_pallas_attn", 64, True, "selective", 4, {"attn_impl": "pallas"}), # 22
     ("best_fused_qkv", 64, True, "selective", 4, {"fuse_qkv": True}),        # 23
     ("best_rerun", 64, True, "selective", 4),                                # 24 (control)
+    ("best_accum_unroll", 64, True, "selective", 4, {"accum_unroll": 4}),    # 25
 ]
 
 
@@ -62,14 +63,16 @@ def run(name, batch, remat, policy, accum, extra=None):
         attn_impl="xla", mlp_impl="xla",
         remat=remat, remat_policy=policy, scan_unroll=12,
     )
-    kw.update(extra or {})
+    extra = dict(extra or {})
+    accum_unroll = extra.pop("accum_unroll", 1)
+    kw.update(extra)
     args = SimpleNamespace(**kw)
     model = create_cl_model(args, task_configs)
     cfg = model.cfg
     tx = make_optimizer(model.params, lr=5e-5, total_steps=10_000, warmup_ratio=0.1)
     state = TrainState.create(apply_fn=model.module.apply, params=model.params, tx=tx)
     train_step = make_train_step(model.module, "snli-ve", "ce", cfg.compute_dtype,
-                                 grad_accum_steps=accum)
+                                 grad_accum_steps=accum, accum_unroll=accum_unroll)
 
     rng = np.random.RandomState(0)
     b = batch
