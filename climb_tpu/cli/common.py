@@ -70,6 +70,11 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                              "(params + optimizer moments + rng) for mid-task "
                              "elastic resume; 0 disables (the reference can "
                              "only resume at task granularity).")
+    parser.add_argument("--no_sigterm_checkpoint", action="store_true",
+                        help="Disable graceful preemption (by default, when "
+                             "elastic checkpointing is on, SIGTERM saves the "
+                             "full train state incl. loader position and "
+                             "exits 143 for a bit-identical mid-epoch resume).")
     parser.add_argument("--worker_mode", type=str, default="thread",
                         choices=["thread", "process"],
                         help="Host loader workers: threads (native decode "

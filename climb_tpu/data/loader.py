@@ -95,6 +95,7 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.epoch = epoch
+        self.skip = 0
         assert worker_mode in ("thread", "process"), worker_mode
         if worker_mode == "process" and "fork" not in multiprocessing.get_all_start_methods():
             worker_mode = "thread"
@@ -119,6 +120,13 @@ class DataLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def set_skip(self, n_batches: int):
+        """Skip the first n batches of the NEXT iteration only — index-level,
+        so skipped examples are never loaded. Used by mid-epoch preemption
+        resume: shuffling is deterministic in (seed, epoch), so skipping the
+        already-consumed prefix reproduces the remaining batch stream."""
+        self.skip = int(n_batches)
+
     def _index_batches(self) -> Sequence[np.ndarray]:
         n = len(self.dataset)
         idx = np.arange(n)
@@ -138,6 +146,9 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._index_batches()
+        if self.skip:
+            batches = batches[self.skip:]
+            self.skip = 0
         if not batches:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

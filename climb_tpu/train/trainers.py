@@ -203,10 +203,11 @@ class VLTaskTrainer(TaskTrainer):
         save_every = int(getattr(self.args, "save_state_epochs", 0) or 0)
         state_path = _os.path.join(ckpt_dir, "train_state") if ckpt_dir else None
         best_path = _os.path.join(ckpt_dir, "best_model") if ckpt_dir else None
-        start_epoch = 1
+        start_epoch, resume_skip = 1, 0
         if state_path and save_every and _os.path.exists(state_path):
             state, meta = load_train_state(state, state_path)
             start_epoch = int(meta["epoch"]) + 1
+            resume_skip = int(meta.get("steps_into_epoch", 0))
             global_step = int(meta["global_step"])
             best_score = float(meta["best_score"])
             self.best_epoch = int(meta["best_epoch"])
@@ -214,12 +215,29 @@ class VLTaskTrainer(TaskTrainer):
             if self.best_epoch > 0 and _os.path.exists(best_path):
                 best_params = load_params(best_path)
             logger.info(
-                "task=%s: resuming from epoch %d (step %d, best %.2f @ epoch %d)",
-                self.task_key, start_epoch, global_step, best_score, self.best_epoch,
+                "task=%s: resuming from epoch %d (step %d, skip %d, best %.2f @ epoch %d)",
+                self.task_key, start_epoch, global_step, resume_skip,
+                best_score, self.best_epoch,
             )
+
+        # graceful preemption: SIGTERM -> save full state at the next step
+        # boundary (incl. the loader position) and exit 143
+        preempt = bool(state_path and save_every) and not getattr(
+            self.args, "no_sigterm_checkpoint", False
+        )
+        if preempt:
+            from climb_tpu.utils.preemption import install_preemption_handler
+
+            preempt = install_preemption_handler()
+        from climb_tpu.utils.preemption import preemption_requested
 
         for epoch in range(start_epoch, self.num_epochs + 1):
             self.train_dataloader.set_epoch(epoch)
+            steps_this_epoch = 0
+            if resume_skip and epoch == start_epoch:
+                self.train_dataloader.set_skip(resume_skip)
+                steps_this_epoch = resume_skip
+                resume_skip = 0
             t0, seen = time.time(), 0
             batches = device_prefetch(
                 iter(self.train_dataloader), lambda b: self._put(b, model.mesh)
@@ -245,11 +263,31 @@ class VLTaskTrainer(TaskTrainer):
                             state.params, self._next_rng()
                         )
                         state = state.replace(params=new_params)
+                steps_this_epoch += 1
                 if global_step % log_freq == 0:
                     log = {f"{self.task_key}/loss": float(metrics["loss"])}
                     if "ewc_loss" in metrics:
                         log[f"{self.task_key}/ewc_loss"] = float(metrics["ewc_loss"])
                     wandb_logger.log(log)
+                if preempt and preemption_requested():
+                    save_train_state(
+                        state,
+                        {
+                            "epoch": epoch - 1,  # resume re-enters this epoch...
+                            "steps_into_epoch": steps_this_epoch,  # ...skipping done steps
+                            "global_step": global_step,
+                            "best_score": best_score,
+                            "best_epoch": self.best_epoch,
+                            "rng": jax.device_get(self.rng),
+                        },
+                        state_path,
+                    )
+                    logger.warning(
+                        "task=%s: preempted at epoch %d step %d — train state "
+                        "saved to %s; exiting 143",
+                        self.task_key, epoch, steps_this_epoch, state_path,
+                    )
+                    raise SystemExit(143)
             dt = time.time() - t0
             do_eval = self.eval_epochs is None or epoch in self.eval_epochs
             if do_eval:

@@ -1,0 +1,118 @@
+"""Graceful preemption: a SIGTERM-style interrupt mid-epoch saves the full
+train state including the loader position, and the resumed run reproduces
+the uninterrupted trajectory EXACTLY (the loader skips the already-consumed
+batch prefix of the deterministic (seed, epoch) shuffle; the rng chain and
+AdamW moments come from the checkpoint)."""
+
+import os
+import signal
+
+import numpy as np
+import pytest
+
+import jax
+
+from climb_tpu.configs import task_configs
+from climb_tpu.train import create_cl_model, get_task_trainer_class
+from climb_tpu.utils import preemption
+
+from tests.test_elastic_resume import make_args, _make_trainer
+
+
+@pytest.fixture(autouse=True)
+def _clear_flag():
+    preemption.clear_preemption()
+    yield
+    preemption.clear_preemption()
+
+
+def test_sigterm_sets_flag():
+    assert preemption.install_preemption_handler()
+    assert not preemption.preemption_requested()
+    os.kill(os.getpid(), signal.SIGTERM)
+    assert preemption.preemption_requested()
+
+
+def test_preempted_mid_epoch_resumes_to_identical_params(tmp_path):
+    full_dir = tmp_path / "full"
+    pre_dir = tmp_path / "pre"
+    full_dir.mkdir(), pre_dir.mkdir()
+
+    # --- uninterrupted 3-epoch run (24 examples / bs 8 = 3 steps/epoch) ---
+    args = make_args(full_dir)
+    model = create_cl_model(args, task_configs)
+    trainer = _make_trainer(args)
+    score_full, model_full = trainer.train(model)
+
+    # --- same run, "preempted" after step 5 (epoch 2, step 2) ---
+    args2 = make_args(pre_dir)
+    model2 = create_cl_model(args2, task_configs)
+    trainer2 = _make_trainer(args2)
+    orig = type(trainer2)._next_rng
+    calls = {"n": 0}
+
+    def hooked(self):
+        calls["n"] += 1
+        if calls["n"] == 5:
+            preemption.request_preemption()  # what the SIGTERM handler does
+        return orig(self)
+
+    type(trainer2)._next_rng = hooked
+    try:
+        with pytest.raises(SystemExit) as e:
+            trainer2.train(model2)
+    finally:
+        type(trainer2)._next_rng = orig
+    assert e.value.code == 143
+
+    from climb_tpu.ckpt import load_train_state
+    from climb_tpu.train import TrainState
+    from climb_tpu.train.optimizer import make_optimizer
+
+    assert (pre_dir / "train_state").exists()
+    tmpl_model = create_cl_model(args2, task_configs)
+    tx = make_optimizer(tmpl_model.params, lr=1e-3, total_steps=9)
+    template = TrainState.create(
+        apply_fn=tmpl_model.module.apply, params=tmpl_model.params, tx=tx
+    )
+    _, meta = load_train_state(template, str(pre_dir / "train_state"))
+    assert int(meta["epoch"]) == 1  # re-enters epoch 2
+    assert int(meta["steps_into_epoch"]) == 2
+    assert int(meta["global_step"]) == 5
+
+    # --- fresh-process resume: must match the uninterrupted run exactly ---
+    preemption.clear_preemption()
+    model3 = create_cl_model(args2, task_configs)
+    trainer3 = _make_trainer(args2)
+    score_res, model_res = trainer3.train(model3)
+
+    assert score_res == pytest.approx(score_full, abs=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        model_full.params,
+        model_res.params,
+    )
+
+
+def test_loader_skip_reproduces_suffix():
+    from climb_tpu.data.collation import stack_collate
+    from climb_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 20
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.int32)}
+
+    dl = DataLoader(DS(), 4, stack_collate, shuffle=True, seed=7, num_workers=1)
+    dl.set_epoch(3)
+    full = [b["x"][:, 0].tolist() for b in dl]
+    dl.set_epoch(3)
+    dl.set_skip(2)
+    tail = [b["x"][:, 0].tolist() for b in dl]
+    assert tail == full[2:]
+    # skip is one-shot: the next iteration is complete again
+    dl.set_epoch(3)
+    again = [b["x"][:, 0].tolist() for b in dl]
+    assert again == full

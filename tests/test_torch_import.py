@@ -211,6 +211,46 @@ def test_export_hf_layout_strict_load(tmp_path):
         )
 
 
+def test_driver_resumes_from_reference_torch_checkpoint(tmp_path):
+    """Migration end-to-end: a reference-layout torch 'model' file placed in
+    the experiment's checkpoint dir is picked up by the upstream driver's
+    resume path (task skipped, params loaded), mirroring the reference's
+    resume behavior (train_upstream_continual_learning.py:222-240)."""
+    from climb_tpu.cli.train_upstream_continual_learning import main as upstream_main
+
+    # run once to learn the experiment dir name + produce a native checkpoint
+    base = [
+        "--encoder_name", "vilt",
+        "--pretrained_model_name", "scratch",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+        "--do_train",
+    ]
+    upstream_main(base)
+    exp_dir = tmp_path / "vilt-singletask_ft-task0_snli-ve"
+    ckpt_dir = exp_dir / "checkpoints" / "task0_snli-ve"
+    assert (ckpt_dir / "model").is_file()
+
+    # replace the native checkpoint with a reference-layout torch save of
+    # the same params (as a migrating user would have)
+    from climb_tpu.ckpt import load_params, save_reference_checkpoint
+
+    params = load_params(str(ckpt_dir / "model"))
+    save_reference_checkpoint(params, str(ckpt_dir / "model"), kind="model")
+    (ckpt_dir / "encoder").unlink()
+
+    # resume run: must load the torch file and skip training
+    upstream_main(base)
+    # the resume path re-saves merged params natively when keys were missing;
+    # either way the file must load as a native tree afterwards
+    tree = load_params(str(ckpt_dir / "model"))
+    assert "vilt" in tree and "head_snli_ve" in tree
+
+
 def test_save_reference_checkpoint_loads_back(tmp_path):
     from climb_tpu.ckpt import load_params, save_reference_checkpoint
 
