@@ -1,0 +1,118 @@
+"""Batched inference driver (serving path).
+
+The reference has no standalone predict entry point — evaluation lives
+inside each task trainer's loop (e.g. ``train_snli_ve.py:246-266``). This
+driver makes the trained model servable: it loads a Phase I checkpoint
+(native msgpack OR a reference ``torch.save`` file — auto-detected), runs a
+task's eval split through ONE jitted fixed-shape forward, and writes
+per-example predictions, the task metric, and measured throughput.
+
+Usage:
+  python -m climb_tpu.cli.predict --encoder_name vilt \\
+      --ordered_cl_tasks vqa,nlvr2,snli-ve,vcr --task_key snli-ve \\
+      --checkpoint out/.../checkpoints/task2_snli-ve/model \\
+      --climb_data_dir /data/datasets/MCL --output_file preds.json
+"""
+
+import argparse
+import json
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+
+from climb_tpu.cli.common import add_common_args, add_tpu_args, setup_logging
+from climb_tpu.configs import task_configs
+
+logger = logging.getLogger(__name__)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--encoder_name", required=True, type=str)
+    parser.add_argument("--pretrained_model_name", default="scratch", type=str,
+                        help="Base weights; the checkpoint overrides them.")
+    parser.add_argument("--ordered_cl_tasks", required=True, type=str,
+                        help="Task sequence the checkpoint was trained with "
+                             "(determines which heads exist).")
+    parser.add_argument("--task_key", required=True, type=str,
+                        help="Which task head to run.")
+    parser.add_argument("--checkpoint", default=None, type=str,
+                        help="Model checkpoint (native msgpack or reference "
+                             "torch save; auto-detected).")
+    parser.add_argument("--climb_data_dir", type=str, default=".")
+    parser.add_argument("--output_file", type=str, default="predictions.json")
+    parser.add_argument("--max_predictions", type=int, default=0,
+                        help="Cap the prediction list in the output JSON "
+                             "(0 = write all).")
+    add_common_args(parser)
+    add_tpu_args(parser)
+    return parser
+
+
+def main(argv=None):
+    setup_logging()
+    args = build_parser().parse_args(argv)
+    args.ordered_cl_tasks = args.ordered_cl_tasks.split(",")
+    if args.tiny:  # tiny model config implies the tiny image canvas
+        args.image_height, args.image_width = 64, 96
+    assert args.task_key in args.ordered_cl_tasks, (
+        f"--task_key {args.task_key} not in --ordered_cl_tasks"
+    )
+
+    from climb_tpu.ckpt import load_params, partial_load
+    from climb_tpu.train import LOSS_TYPES, create_cl_model, get_task_trainer_class
+    from climb_tpu.train.train_step import make_eval_step
+
+    model = create_cl_model(args, task_configs)
+    if args.checkpoint and os.path.isfile(args.checkpoint):
+        ckpt = load_params(args.checkpoint)
+        merged, loaded, missing = partial_load(model.params, ckpt)
+        model = model.with_params(merged)
+        logger.info("Checkpoint %s: %d tensors loaded, %d kept from init",
+                    args.checkpoint, len(loaded), len(missing))
+    elif args.checkpoint:
+        raise FileNotFoundError(args.checkpoint)
+
+    trainer_cls = get_task_trainer_class(task_configs[args.task_key]["trainer"])
+    trainer = trainer_cls(args, task_configs, model_config={"encoder_dim": model.cfg.hidden_size})
+    eval_step = make_eval_step(
+        model.module, args.task_key, LOSS_TYPES[args.task_key], model.cfg.compute_dtype
+    )
+
+    preds, total, count, n = [], 0.0, 0.0, 0
+    t0 = None
+    for batch in trainer.eval_dataloader:
+        put = trainer._put(batch, model.mesh)
+        logits, s, c = eval_step(model.params, put)
+        if t0 is None:  # exclude compile time from throughput
+            float(s)
+            t0, n0 = time.perf_counter(), 0
+        preds.extend(np.asarray(jax.numpy.argmax(logits, axis=-1)).tolist())
+        total += float(s)
+        count += float(c)
+        n += int(batch[next(iter(batch))].shape[0])
+    elapsed = max(time.perf_counter() - (t0 or time.perf_counter()), 1e-9)
+    score = 100.0 * total / max(count, 1.0)
+    ex_s = n / elapsed
+
+    out = {
+        "task_key": args.task_key,
+        "checkpoint": args.checkpoint,
+        "metric": score,
+        "n_examples": n,
+        "examples_per_sec": round(ex_s, 1),
+        "predictions": preds[: args.max_predictions] if args.max_predictions else preds,
+    }
+    os.makedirs(os.path.dirname(args.output_file) or ".", exist_ok=True)
+    with open(args.output_file, "w") as f:
+        json.dump(out, f)
+    logger.info("task=%s: metric=%.2f over %d examples (%.1f ex/s) -> %s",
+                args.task_key, score, n, ex_s, args.output_file)
+    return out
+
+
+if __name__ == "__main__":
+    main()

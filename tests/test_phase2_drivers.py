@@ -76,6 +76,46 @@ def test_vision_driver_acc_and_microf1(tmp_path, task):
     assert len(files) == 1
 
 
+def test_predict_cli_from_checkpoint(tmp_path):
+    """The inference driver loads a Phase I checkpoint and produces
+    per-example predictions + the task metric + throughput."""
+    from climb_tpu.cli.predict import main as predict_main
+    from climb_tpu.cli.train_upstream_continual_learning import main as upstream_main
+
+    base = [
+        "--encoder_name", "vilt",
+        "--pretrained_model_name", "scratch",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+    ]
+    upstream_main(base + ["--do_train"])
+    ckpt = (tmp_path / "vilt-singletask_ft-task0_snli-ve" / "checkpoints"
+            / "task0_snli-ve" / "model")
+
+    out_file = tmp_path / "preds.json"
+    result = predict_main([
+        "--encoder_name", "vilt",
+        "--ordered_cl_tasks", "snli-ve",
+        "--task_key", "snli-ve",
+        "--checkpoint", str(ckpt),
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--pretrained_model_name", "scratch",
+        "--output_file", str(out_file),
+    ])
+    saved = json.loads(out_file.read_text())
+    assert saved["n_examples"] == len(saved["predictions"]) > 0
+    assert 0.0 <= saved["metric"] <= 100.0
+    assert all(p in (0, 1, 2) for p in saved["predictions"])  # 3-way snli-ve
+    assert result["metric"] == saved["metric"]
+
+
 def test_language_driver_viltbert_frozen_bert(tmp_path, monkeypatch):
     """--encoder_name viltbert builds the frozen-BERT classifier (reference
     lang/viltbert-seq.sh -> ViltBertForSequenceClassification,
