@@ -220,6 +220,32 @@ def export_vilt_encoder(enc: dict) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_bert_encoder(bert: dict) -> Dict[str, np.ndarray]:
+    """BertCore params -> HF BertModel state dict (inverse of import_hf_bert)."""
+    sd: Dict[str, np.ndarray] = {}
+    sd["embeddings.word_embeddings.weight"] = _t(bert["word_embeddings"])
+    sd["embeddings.position_embeddings.weight"] = _t(bert["position_embeddings"])
+    sd["embeddings.token_type_embeddings.weight"] = _t(bert["token_type_embeddings"])
+    _unlayernorm(sd, "embeddings.LayerNorm", bert["embed_layernorm"])
+    stacked = bert["encoder"]
+    num_layers = _t(stacked["q"]["kernel"]).shape[0]
+    name_map = {
+        "q": ("attention.self.query", _unlinear),
+        "k": ("attention.self.key", _unlinear),
+        "v": ("attention.self.value", _unlinear),
+        "attn_out": ("attention.output.dense", _unlinear),
+        "attn_ln": ("attention.output.LayerNorm", _unlayernorm),
+        "fc1": ("intermediate.dense", _unlinear),
+        "fc2": ("output.dense", _unlinear),
+        "mlp_ln": ("output.LayerNorm", _unlayernorm),
+    }
+    for i in range(num_layers):
+        for ours, (theirs, fn) in name_map.items():
+            leaf = {k: v[i] for k, v in stacked[ours].items()}
+            fn(sd, f"encoder.layer.{i}.{theirs}", leaf)
+    return sd
+
+
 def _task_key_for_head(head_name: str) -> str:
     """head_snli_ve -> snli-ve (resolve against the task registry; the
     underscore/dash mapping is otherwise ambiguous)."""
@@ -259,24 +285,35 @@ def export_torch_state_dict(tree: dict, kind: str = "model") -> Dict[str, np.nda
     """climb-tpu param tree -> reference torch state dict (numpy values).
 
     kind='model'   -> ViltContinualLearner layout (vilt_encoder.vilt.* +
-                      task_layer.*), what the reference saves as '.../model'.
-    kind='encoder' -> encoder-wrapper layout (vilt.*), the '.../encoder' file.
+                      task_layer.*; viltbert trees export as
+                      viltbert_encoder.{vilt,bert}.*), the '.../model' file.
+    kind='encoder' -> encoder-wrapper layout (vilt.* [+ bert.*]), the
+                      '.../encoder' file.
     kind='hf'      -> bare HF ViltModel layout (loadable with
                       ViltModel.load_state_dict(strict=True)).
     """
-    enc_tree = tree.get("vilt") or (tree.get("viltbert") or {}).get("vilt")
+    vb = tree.get("viltbert")
+    enc_tree = tree.get("vilt") or (vb or {}).get("vilt")
     if enc_tree is None and "word_embeddings" in tree:
         enc_tree = tree
     if enc_tree is None:
         raise ValueError("no encoder subtree ('vilt'/'viltbert') in param tree")
     enc_sd = export_vilt_encoder(enc_tree)
+    bert_sd = export_bert_encoder(vb["bert"]) if vb and "bert" in vb else None
 
     if kind == "hf":
         return enc_sd
-    prefix = {"model": "vilt_encoder.vilt.", "encoder": "vilt."}[kind]
-    sd = {prefix + k: v for k, v in enc_sd.items()}
     if kind == "model":
+        wrapper = "viltbert_encoder." if bert_sd else "vilt_encoder."
+        sd = {f"{wrapper}vilt.{k}": v for k, v in enc_sd.items()}
+        if bert_sd:
+            sd.update({f"{wrapper}bert.{k}": v for k, v in bert_sd.items()})
         sd.update(export_heads(tree))
+        return sd
+    assert kind == "encoder", kind
+    sd = {f"vilt.{k}": v for k, v in enc_sd.items()}
+    if bert_sd:
+        sd.update({f"bert.{k}": v for k, v in bert_sd.items()})
     return sd
 
 

@@ -251,6 +251,40 @@ def test_driver_resumes_from_reference_torch_checkpoint(tmp_path):
     assert "vilt" in tree and "head_snli_ve" in tree
 
 
+def test_export_roundtrip_viltbert():
+    """viltbert trees export as viltbert_encoder.{vilt,bert}.* and convert
+    back to the identical nested tree."""
+    import jax
+
+    from climb_tpu.ckpt import convert_torch_state_dict, export_torch_state_dict
+    from climb_tpu.models.model_config import ViltConfig
+    from climb_tpu.train.model_factory import load_encoder_params
+
+    cfg = ViltConfig(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, image_height=64, image_width=96,
+        patch_size=32, pretrain_image_size=64,
+    )
+    enc, _ = load_encoder_params(None, cfg, pretrained="scratch",
+                                 encoder_name="viltbert")
+    tree = {"viltbert": enc}
+
+    sd = export_torch_state_dict(tree, kind="model")
+    assert any(k.startswith("viltbert_encoder.vilt.") for k in sd)
+    assert any(k.startswith("viltbert_encoder.bert.") for k in sd)
+    back = convert_torch_state_dict(sd)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+        tree, back,
+    )
+
+    # encoder-wrapper layout keeps both sides too (vilt.* + bert.*)
+    sd2 = export_torch_state_dict(tree, kind="encoder")
+    assert any(k.startswith("bert.") for k in sd2)
+    back2 = convert_torch_state_dict(sd2)
+    assert set(back2["viltbert"]) == {"vilt", "bert"}
+
+
 def test_save_reference_checkpoint_loads_back(tmp_path):
     from climb_tpu.ckpt import load_params, save_reference_checkpoint
 
