@@ -182,25 +182,35 @@ class DataLoader:
                     except StopIteration:
                         return
 
+            err = None
             try:
                 top_up()
                 while inflight and not stop_evt.is_set():
                     q.put(fetch(inflight.popleft()))
                     top_up()
+            except BaseException as e:  # worker failure: propagate, never hang
+                err = e
             finally:
                 if self.worker_mode == "process":
                     pool.terminate()
                     pool.join()
                 else:
                     pool.shutdown(wait=False, cancel_futures=True)
-            q.put(None)
+                # end-of-stream sentinel (or the worker's exception) — must be
+                # delivered even on failure or the consumer blocks forever
+                try:
+                    q.put(("__done__", err), timeout=5)
+                except queue.Full:
+                    pass  # consumer already gone (stop_evt drain)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
                 item = q.get()
-                if item is None:
+                if isinstance(item, tuple) and len(item) == 2 and item[0] == "__done__":
+                    if item[1] is not None:
+                        raise item[1]
                     break
                 yield item
         finally:

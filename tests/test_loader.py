@@ -102,3 +102,28 @@ def test_bounded_readahead():
     assert n_built <= 4 * (2 + 2 + 1 + 2), n_built
     for _ in it:
         pass
+
+
+def test_worker_exception_propagates_instead_of_hanging():
+    """A failing __getitem__ in a worker must surface in the consumer
+    promptly (previously the producer died before the end-of-stream sentinel
+    and iteration blocked forever)."""
+    import numpy as np
+    import pytest
+
+    from climb_tpu.data.collation import stack_collate
+    from climb_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 40
+
+        def __getitem__(self, i):
+            if i == 17:
+                raise ValueError("corrupt example 17")
+            return {"x": np.zeros((2,), np.int32)}
+
+    dl = DataLoader(Bad(), 4, stack_collate, shuffle=False, num_workers=2)
+    with pytest.raises(ValueError, match="corrupt example 17"):
+        for _ in dl:
+            pass
