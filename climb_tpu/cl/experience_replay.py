@@ -1,8 +1,9 @@
 """Experience replay (parity: reference ``src/cl_algorithms/experience_replay.py``).
 
 - After each task, ``add_task_memory_buffer`` samples ``memory_percentage``
-  of the train indices at random (only the 'random' strategy exists;
-  'random-balanced' raises NotImplementedError — reference :110-111).
+  of the train indices — 'random' (reference behavior) or 'random-balanced'
+  (class-balanced round-robin; declared but NotImplementedError in the
+  reference :110-111, implemented here for tasks with class labels).
 - During later tasks, every ``replay_frequency`` steps the trainer samples a
   random *previous* task and runs one train step on a batch collated from
   buffered indices (reference :45-67).
@@ -27,6 +28,39 @@ from climb_tpu.utils.wandb import wandb_logger
 logger = logging.getLogger(__name__)
 
 
+def _example_labels(dataset):
+    """Cheap per-example class labels (no example loading), or None."""
+    labels = getattr(dataset, "labels", None)
+    if labels is not None:
+        return [int(x) for x in labels]
+    data = getattr(dataset, "data", None)
+    if isinstance(data, list) and data:
+        out = []
+        for d in data:
+            y = d.get("label", d.get("labels")) if isinstance(d, dict) else None
+            if not isinstance(y, (int, bool)) and not hasattr(y, "__int__"):
+                return None
+            out.append(int(y))
+        return out
+    return None
+
+
+def _balanced_sample(labels, k):
+    """k indices with per-class counts as equal as the data allows."""
+    pools = {}
+    for i, y in enumerate(labels):
+        pools.setdefault(y, []).append(i)
+    for pool in pools.values():
+        random.shuffle(pool)
+    out = []
+    classes = sorted(pools)
+    while len(out) < k and any(pools[c] for c in classes):
+        for c in classes:
+            if pools[c] and len(out) < k:
+                out.append(pools[c].pop())
+    return out
+
+
 class TaskMemoryBuffer:
     """Buffer of training-example indices usable for replay steps."""
 
@@ -49,10 +83,21 @@ class TaskMemoryBuffer:
         assert self.memory_percentage < 1.0
         self.memory_size = int(memory_percentage * len(self.dataset))
         self.sampling_strategy = sampling_strategy
-        assert sampling_strategy in ["random"], (
-            "Only random sampling of replay memory is implemented"
-        )
-        self.memory_idxs = random.sample(range(len(self.dataset)), self.memory_size)
+        assert sampling_strategy in ["random", "random-balanced"], sampling_strategy
+        if sampling_strategy == "random-balanced":
+            # class-balanced buffer (declared but NotImplementedError in the
+            # reference, experience_replay.py:110-111 — implemented here):
+            # round-robin across label classes so rare classes survive replay
+            labels = _example_labels(self.dataset)
+            if labels is None:
+                raise NotImplementedError(
+                    f"random-balanced needs per-example class labels; the "
+                    f"{task_key} dataset does not expose them (soft-target "
+                    f"tasks like vqa: use 'random')"
+                )
+            self.memory_idxs = _balanced_sample(labels, self.memory_size)
+        else:
+            self.memory_idxs = random.sample(range(len(self.dataset)), self.memory_size)
         self._replay_step = None
         logger.info(
             "Created %s replay memory buffer with %d samples",

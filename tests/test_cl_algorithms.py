@@ -113,8 +113,9 @@ def test_er_buffer_sampling():
     mem.add_task_memory_buffer(args, "vcr", {"task_name": "V"}, FakeTrainer(ds), 0.2, "random")
     assert mem.memory_buffers["nlvr2"].batch_size == 4
     assert mem.memory_buffers["vcr"].batch_size == 2
-    # random-balanced is declared unimplemented (reference :110-111)
-    with pytest.raises(AssertionError):
+    # random-balanced needs class labels (implemented beyond the reference,
+    # see test_er_buffer_random_balanced); label-less datasets reject it
+    with pytest.raises(NotImplementedError):
         mem.add_task_memory_buffer(args, "x", {"task_name": "X"}, FakeTrainer(ds), 0.2,
                                    "random-balanced")
 
@@ -152,3 +153,56 @@ def test_loader_host_sharding():
     xb = np.concatenate([bt["x"][bt["valid"].astype(bool)] for bt in b])
     assert len(set(xa) & set(xb)) == 0
     assert len(set(xa) | set(xb)) == 20
+
+
+def test_er_buffer_random_balanced():
+    """'random-balanced' (NotImplementedError in the reference) fills the
+    buffer round-robin across classes — rare classes keep representation."""
+    from climb_tpu.cl import ExperienceReplayMemory
+    from climb_tpu.cl.experience_replay import _balanced_sample
+
+    class FakeTrainer:
+        lr, weight_decay, adam_epsilon, warmup_ratio, max_steps = 1e-4, 0.0, 1e-8, 0.1, 10
+        loss_type = "ce"
+
+        def __init__(self, ds):
+            self._ds = ds
+
+        def get_train_dataloader(self):
+            return SimpleNamespace(dataset=self._ds)
+
+        def get_collate_fn(self):
+            from climb_tpu.data.collation import stack_collate
+
+            return stack_collate
+
+    # skewed dataset: 90 of class 0, 10 of class 1, exposed via .data labels
+    class DS(list):
+        pass
+
+    ds = DS({"x": np.full((2,), i, np.float32)} for i in range(100))
+    ds.data = [{"label": 0 if i < 90 else 1} for i in range(100)]
+
+    random.seed(0)
+    mem = ExperienceReplayMemory()
+    args = SimpleNamespace(batch_size=8)
+    mem.add_task_memory_buffer(args, "snli-ve", {"task_name": "SNLI-VE"},
+                               FakeTrainer(ds), 0.2, "random-balanced")
+    buf = mem.memory_buffers["snli-ve"]
+    assert len(buf) == 20
+    by_class = {0: 0, 1: 0}
+    for i in buf.memory_idxs:
+        by_class[ds.data[i]["label"]] += 1
+    assert by_class == {0: 10, 1: 10}  # balanced, not 18/2
+
+    # direct sampler: caps at class availability
+    random.seed(1)
+    idx = _balanced_sample([0] * 3 + [1] * 50, 10)
+    labels = [0 if i < 3 else 1 for i in idx]
+    assert labels.count(0) == 3 and labels.count(1) == 7
+
+    # soft-target tasks without class labels reject the strategy clearly
+    ds2 = DS({"x": np.zeros(2, np.float32)} for _ in range(10))
+    with pytest.raises(NotImplementedError, match="random-balanced"):
+        mem.add_task_memory_buffer(args, "vqa", {"task_name": "VQAv2"},
+                                   FakeTrainer(ds2), 0.5, "random-balanced")
