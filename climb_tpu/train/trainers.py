@@ -17,6 +17,8 @@ best checkpoint kept (host copy instead of the reference's in-RAM
 """
 
 import logging
+import pickle
+import random as py_random
 import time
 from typing import Optional
 
@@ -212,6 +214,10 @@ class VLTaskTrainer(TaskTrainer):
             best_score = float(meta["best_score"])
             self.best_epoch = int(meta["best_epoch"])
             self.rng = jnp.asarray(meta["rng"])
+            if "py_random" in meta:  # ER buffer/replay sampling uses the
+                # python RNG — restore it so resumed trajectories with
+                # experience replay stay bit-identical too
+                py_random.setstate(pickle.loads(meta["py_random"].tobytes()))
             if self.best_epoch > 0 and _os.path.exists(best_path):
                 best_params = load_params(best_path)
             logger.info(
@@ -279,6 +285,9 @@ class VLTaskTrainer(TaskTrainer):
                             "best_score": best_score,
                             "best_epoch": self.best_epoch,
                             "rng": jax.device_get(self.rng),
+                            "py_random": np.frombuffer(
+                                pickle.dumps(py_random.getstate()), dtype=np.uint8
+                            ),
                         },
                         state_path,
                     )
@@ -312,6 +321,9 @@ class VLTaskTrainer(TaskTrainer):
                         "best_score": best_score,
                         "best_epoch": self.best_epoch,
                         "rng": jax.device_get(self.rng),
+                        "py_random": np.frombuffer(
+                            pickle.dumps(py_random.getstate()), dtype=np.uint8
+                        ),
                     },
                     state_path,
                 )

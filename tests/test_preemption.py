@@ -94,6 +94,69 @@ def test_preempted_mid_epoch_resumes_to_identical_params(tmp_path):
     )
 
 
+def test_er_run_preempted_and_resumed_is_bit_identical(tmp_path):
+    """Experience replay consumes the python RNG (buffer + replay-task
+    sampling); the preemption checkpoint captures and restores it, so even an
+    ER run interrupted mid-task resumes to the exact uninterrupted result."""
+    import json
+
+    from climb_tpu.ckpt import load_params
+    from climb_tpu.cli.train_upstream_continual_learning import main as upstream_main
+    from climb_tpu.train import trainers as trainers_mod
+
+    def args_for(out):
+        return [
+            "--encoder_name", "vilt",
+            "--pretrained_model_name", "scratch",
+            "--climb_data_dir", "/tmp/unused",
+            "--synthetic", "--tiny", "--synthetic_train_size", "16",
+            "--batch_size", "8",
+            "--output_dir", str(out),
+            "--ordered_cl_tasks", "snli-ve,nlvr2",
+            "--cl_algorithm", "experience_replay",
+            "--memory_percentage", "0.2",
+            "--memory_sampling_strategy", "random",
+            "--replay_frequency", "2",
+            "--do_train",
+        ]
+
+    full_dir, pre_dir = tmp_path / "full", tmp_path / "pre"
+    upstream_main(args_for(full_dir))
+
+    # interrupted run: preempt mid-task-2 (task 1 = 10 steps; trigger later)
+    cls = trainers_mod.VLTaskTrainer
+    orig = cls._next_rng
+    calls = {"n": 0}
+
+    def hooked(self):
+        calls["n"] += 1
+        if calls["n"] == 25:
+            preemption.request_preemption()
+        return orig(self)
+
+    cls._next_rng = hooked
+    try:
+        with pytest.raises(SystemExit):
+            upstream_main(args_for(pre_dir))
+    finally:
+        cls._next_rng = orig
+    preemption.clear_preemption()
+
+    upstream_main(args_for(pre_dir))  # resume to completion
+
+    exp = "vilt-experience_replay-task0_snli-ve-task1_nlvr2"
+    for task in ["task0_snli-ve", "task1_nlvr2"]:
+        a = load_params(str(full_dir / exp / "checkpoints" / task / "model"))
+        b = load_params(str(pre_dir / exp / "checkpoints" / task / "model"))
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+            a, b,
+        )
+    ra = json.loads((full_dir / exp / "results.json").read_text())
+    rb = json.loads((pre_dir / exp / "results.json").read_text())
+    assert [r["best_score"] for r in ra] == [r["best_score"] for r in rb]
+
+
 def test_loader_skip_reproduces_suffix():
     from climb_tpu.data.collation import stack_collate
     from climb_tpu.data.loader import DataLoader
