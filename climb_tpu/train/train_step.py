@@ -48,25 +48,37 @@ def prepare_batch(batch: dict, compute_dtype=jnp.float32) -> dict:
 
 
 def compute_loss(logits, batch, loss_type: str):
-    if loss_type == "ce":
-        return optax.softmax_cross_entropy_with_integer_labels(
+    """Mean per-example loss over VALID rows only.
+
+    The fixed-shape pipeline zero-pads the final partial batch of an epoch
+    (``pad_batch``); the reference's dynamic batching has no such rows, so
+    they must not contribute gradient. With no padding ('valid' absent or
+    all-ones) this is exactly the unmasked mean.
+    """
+    valid = batch.get("valid")
+    if valid is None:
+        valid = jnp.ones((logits.shape[0],), jnp.float32)
+    valid = valid.astype(jnp.float32)
+    denom = jnp.maximum(valid.sum(), 1.0)
+
+    if loss_type in ("ce", "mc_ce"):
+        per_ex = optax.softmax_cross_entropy_with_integer_labels(
             logits.astype(jnp.float32), batch["labels"]
-        ).mean()
-    if loss_type == "mc_ce":
-        return optax.softmax_cross_entropy_with_integer_labels(
-            logits.astype(jnp.float32), batch["labels"]
-        ).mean()
-    if loss_type == "vqa_bce":
-        # mean-over-everything BCE * num_labels == per-example sum / batch
-        per_elem = optax.sigmoid_binary_cross_entropy(
-            logits.astype(jnp.float32), batch["target_scores"]
         )
-        return per_elem.mean() * logits.shape[-1]
-    if loss_type == "bce_multilabel":
-        return optax.sigmoid_binary_cross_entropy(
+    elif loss_type == "vqa_bce":
+        # reference: BCEWithLogits(reduction='mean') * num_labels over a real
+        # batch == per-example elementwise-BCE sum, averaged over the batch
+        # (train_vqa.py:95,157)
+        per_ex = optax.sigmoid_binary_cross_entropy(
+            logits.astype(jnp.float32), batch["target_scores"]
+        ).sum(axis=-1)
+    elif loss_type == "bce_multilabel":
+        per_ex = optax.sigmoid_binary_cross_entropy(
             logits.astype(jnp.float32), batch["labels"].astype(jnp.float32)
-        ).mean()
-    raise ValueError(f"unknown loss_type {loss_type}")
+        ).mean(axis=-1)
+    else:
+        raise ValueError(f"unknown loss_type {loss_type}")
+    return (per_ex * valid).sum() / denom
 
 
 def batch_metric(logits, batch, loss_type: str):

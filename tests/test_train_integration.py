@@ -103,3 +103,43 @@ def test_vqa_soft_target_step():
     trainer.max_steps = len(trainer.train_dataloader)
     score, model = trainer.train(model)
     assert 0.0 <= score <= 100.0
+
+
+def test_padded_rows_do_not_contribute_to_loss():
+    """The zero-padded tail of a final partial batch (pad_batch) must be
+    invisible to training: masked loss == loss of the unpadded batch, and
+    d(loss)/d(logits) is zero on pad rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from climb_tpu.train.train_step import compute_loss
+
+    rng = np.random.RandomState(0)
+    real_logits = jnp.asarray(rng.randn(5, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 3, (5,)))
+    pad_logits = jnp.concatenate([real_logits, jnp.zeros((3, 3))])
+    padded = {
+        "labels": jnp.concatenate([labels, jnp.zeros((3,), labels.dtype)]),
+        "valid": jnp.asarray([1.0] * 5 + [0.0] * 3),
+    }
+
+    want = compute_loss(real_logits, {"labels": labels}, "ce")
+    got = compute_loss(pad_logits, padded, "ce")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    g = jax.grad(lambda lg: compute_loss(lg, padded, "ce"))(pad_logits)
+    assert np.abs(np.asarray(g)[5:]).max() == 0.0
+    assert np.abs(np.asarray(g)[:5]).max() > 0.0
+
+    # vqa_bce: per-example BCE sums, masked mean
+    ts = jnp.asarray(rng.rand(5, 7).astype(np.float32))
+    vl = jnp.asarray(rng.randn(5, 7).astype(np.float32))
+    want = compute_loss(vl, {"target_scores": ts}, "vqa_bce")
+    got = compute_loss(
+        jnp.concatenate([vl, jnp.zeros((2, 7))]),
+        {"target_scores": jnp.concatenate([ts, jnp.zeros((2, 7))]),
+         "valid": jnp.asarray([1.0] * 5 + [0.0] * 2)},
+        "vqa_bce",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
