@@ -55,11 +55,18 @@ def compute_loss(logits, batch, loss_type: str):
     they must not contribute gradient. With no padding ('valid' absent or
     all-ones) this is exactly the unmasked mean.
     """
+    lsum, count = compute_loss_sum(logits, batch, loss_type)
+    return lsum / jnp.maximum(count, 1.0)
+
+
+def compute_loss_sum(logits, batch, loss_type: str):
+    """(masked per-example loss SUM, valid count) — the unnormalized form,
+    so gradient accumulation can divide by the GLOBAL valid count and stay
+    exactly equal to the whole-batch masked mean."""
     valid = batch.get("valid")
     if valid is None:
         valid = jnp.ones((logits.shape[0],), jnp.float32)
     valid = valid.astype(jnp.float32)
-    denom = jnp.maximum(valid.sum(), 1.0)
 
     if loss_type in ("ce", "mc_ce"):
         per_ex = optax.softmax_cross_entropy_with_integer_labels(
@@ -78,7 +85,7 @@ def compute_loss(logits, batch, loss_type: str):
         ).mean(axis=-1)
     else:
         raise ValueError(f"unknown loss_type {loss_type}")
-    return (per_ex * valid).sum() / denom
+    return (per_ex * valid).sum(), valid.sum()
 
 
 def batch_metric(logits, batch, loss_type: str):
@@ -164,22 +171,42 @@ def make_train_step(model, task_key: Optional[str], loss_type: str, compute_dtyp
 
         micro_batches = micro(batch)
         rngs = jax.random.split(rng, grad_accum_steps)
+        # global valid count BEFORE the scan: each microbatch contributes its
+        # masked loss SUM / denom_total (+ penalty/k), so accumulated grads
+        # and loss equal the whole-batch masked mean EXACTLY even when the
+        # padded final batch leaves microbatches with unequal valid counts
+        valid = batch.get("valid")
+        denom = (
+            valid.astype(jnp.float32).sum() if valid is not None
+            else jnp.asarray(batch["input_ids"].shape[0], jnp.float32)
+        )
+        denom = jnp.maximum(denom, 1.0)
+
+        def scaled_loss_fn(params, mb, r, ewc_ref):
+            logits = forward(params, mb, deterministic=False, rngs={"dropout": r})
+            lsum, _ = compute_loss_sum(logits, mb, loss_type)
+            data_loss = lsum / denom
+            loss = data_loss
+            if ewc_ref is not None:
+                loss = loss + ewc_penalty(_encoder_subtree(params), ewc_ref) / grad_accum_steps
+            return loss, (data_loss, logits)
 
         def body(carry, xs):
             acc, loss_acc = carry
             mb, r = xs
-            g, (loss, logits) = jax.grad(loss_fn, has_aux=True)(params, mb, r, ewc_ref)
+            g, (data_loss, logits) = jax.grad(scaled_loss_fn, has_aux=True)(
+                params, mb, r, ewc_ref
+            )
             acc = jax.tree_util.tree_map(jnp.add, acc, g)
-            return (acc, loss_acc + loss), logits
+            return (acc, loss_acc + data_loss), logits
 
         zeros = jax.tree_util.tree_map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
         (grads, loss_sum), logits = jax.lax.scan(
             body, (zeros, jnp.zeros((), jnp.float32)), (micro_batches, rngs),
             unroll=min(accum_unroll, grad_accum_steps),
         )
-        grads = jax.tree_util.tree_map(lambda g: g / grad_accum_steps, grads)
         logits = logits.reshape((-1,) + logits.shape[2:])
-        return grads, loss_sum / grad_accum_steps, logits
+        return grads, loss_sum, logits
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng, ewc_ref=None):

@@ -85,3 +85,40 @@ def test_accum_unroll_is_equivalent(rng):
     np.testing.assert_allclose(l4, l1, rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p4)):
         np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
+
+def test_grad_accum_exact_with_padded_batch(rng):
+    """With a zero-padded final batch, microbatches have unequal valid counts
+    (here 2,2,2,0); sum-based accumulation with the global denominator must
+    still equal the whole-batch masked step exactly."""
+    import optax
+
+    args = SimpleNamespace(
+        batch_size=8, seed=0, ordered_cl_tasks=["snli-ve"], encoder_name="vilt",
+        pretrained_model_name="scratch", tiny=True, synthetic=True,
+        image_height=64, image_width=96,
+    )
+    model = create_cl_model(args, task_configs)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(1, 100, (8, 40)), jnp.int32),
+        "text_mask": jnp.ones((8, 40)),
+        "pixel_values": jnp.asarray(rng.randint(0, 255, (8, 64, 96, 3)), jnp.uint8),
+        "patch_hw": jnp.ones((8, 2), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 3, (8,)), jnp.int32),
+        "valid": jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], jnp.float32),
+    }
+
+    def run(accum):
+        params = jax.tree_util.tree_map(jnp.array, model.params)
+        state = TrainState.create(
+            apply_fn=model.module.apply, params=params, tx=optax.sgd(0.1)
+        )
+        step = make_train_step(model.module, "snli-ve", "ce", grad_accum_steps=accum)
+        state, m = step(state, batch, jax.random.PRNGKey(7))
+        return jax.device_get(state.params), float(m["loss"])
+
+    p1, loss1 = run(1)
+    p4, loss4 = run(4)
+    np.testing.assert_allclose(loss4, loss1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
