@@ -18,6 +18,7 @@ Two worker modes:
   touch JAX — datasets/collates are numpy-only by design; keep it that way.
 """
 
+import logging
 import multiprocessing
 import queue
 import threading
@@ -26,11 +27,17 @@ from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
 
+logger = logging.getLogger(__name__)
+
 # State inherited by fork()ed pool workers; guarded by _FORK_LOCK while a
 # pool is being constructed (workers fork eagerly at Pool() creation, so the
 # global only needs to be stable until the constructor returns).
 _FORK_STATE = None
 _FORK_LOCK = threading.Lock()
+
+
+def _process_worker_ping():
+    return True
 
 
 def _process_worker_make_batch(indices):
@@ -163,11 +170,27 @@ class DataLoader:
             inflight = deque()
             it = iter(batches)
 
-            if self.worker_mode == "process":
+            mode = self.worker_mode
+            if mode == "process":
                 global _FORK_STATE
                 with _FORK_LOCK:
                     _FORK_STATE = (self.dataset, self.collate_fn, self.batch_size)
                     pool = multiprocessing.get_context("fork").Pool(self.num_workers)
+                # fork-after-threads hazard: in a process with live XLA/JAX
+                # worker threads, fork children can inherit a held lock and
+                # deadlock before running anything. Ping the pool with a
+                # deadline; if it is wedged, kill it and degrade to threads
+                # (a hung epoch is far worse than thread workers).
+                try:
+                    pool.apply_async(_process_worker_ping).get(timeout=10)
+                except Exception:
+                    logger.warning(
+                        "fork worker pool unresponsive (fork-after-threads "
+                        "deadlock?); falling back to thread workers"
+                    )
+                    pool.terminate()
+                    mode = "thread"
+            if mode == "process":
                 submit = lambda b: pool.apply_async(_process_worker_make_batch, (b,))
                 fetch = lambda f: f.get()
             else:
@@ -191,7 +214,7 @@ class DataLoader:
             except BaseException as e:  # worker failure: propagate, never hang
                 err = e
             finally:
-                if self.worker_mode == "process":
+                if mode == "process":
                     pool.terminate()
                     pool.join()
                 else:
