@@ -40,6 +40,38 @@ def _process_worker_ping():
     return True
 
 
+def _try_create_fork_pool(state, num_workers, deadline=10.0):
+    """Create a fork Pool with a deadline, or return None.
+
+    fork()ing a process that already runs XLA/JAX worker threads can wedge
+    either side on a lock some thread held at fork time — observed both in
+    the Pool constructor and in fresh children. Construction + a ping run on
+    a disposable daemon thread; if the deadline passes, the caller degrades
+    to thread workers (a leaked wedged thread/child is bounded damage, a
+    silent epoch-long hang is not)."""
+    if not _FORK_LOCK.acquire(timeout=deadline):
+        return None
+    result = {}
+
+    def build():
+        global _FORK_STATE
+        pool = None
+        try:
+            _FORK_STATE = state
+            pool = multiprocessing.get_context("fork").Pool(num_workers)
+            pool.apply_async(_process_worker_ping).get(timeout=deadline)
+            result["pool"] = pool
+        except Exception:
+            if pool is not None:
+                threading.Thread(target=pool.terminate, daemon=True).start()
+
+    t = threading.Thread(target=build, daemon=True)
+    t.start()
+    t.join(deadline * 2)
+    _FORK_LOCK.release()
+    return result.get("pool")
+
+
 def _process_worker_make_batch(indices):
     dataset, collate_fn, batch_size = _FORK_STATE
     examples = [dataset[int(i)] for i in indices]
@@ -172,23 +204,15 @@ class DataLoader:
 
             mode = self.worker_mode
             if mode == "process":
-                global _FORK_STATE
-                with _FORK_LOCK:
-                    _FORK_STATE = (self.dataset, self.collate_fn, self.batch_size)
-                    pool = multiprocessing.get_context("fork").Pool(self.num_workers)
-                # fork-after-threads hazard: in a process with live XLA/JAX
-                # worker threads, fork children can inherit a held lock and
-                # deadlock before running anything. Ping the pool with a
-                # deadline; if it is wedged, kill it and degrade to threads
-                # (a hung epoch is far worse than thread workers).
-                try:
-                    pool.apply_async(_process_worker_ping).get(timeout=10)
-                except Exception:
+                pool = _try_create_fork_pool(
+                    (self.dataset, self.collate_fn, self.batch_size),
+                    self.num_workers,
+                )
+                if pool is None:
                     logger.warning(
-                        "fork worker pool unresponsive (fork-after-threads "
-                        "deadlock?); falling back to thread workers"
+                        "fork worker pool failed to come up (fork-after-"
+                        "threads deadlock?); falling back to thread workers"
                     )
-                    pool.terminate()
                     mode = "thread"
             if mode == "process":
                 submit = lambda b: pool.apply_async(_process_worker_make_batch, (b,))
@@ -215,8 +239,9 @@ class DataLoader:
                 err = e
             finally:
                 if mode == "process":
-                    pool.terminate()
-                    pool.join()
+                    # terminate on a daemon thread: joining a pool whose
+                    # handler threads are wedged must not hang the epoch
+                    threading.Thread(target=pool.terminate, daemon=True).start()
                 else:
                     pool.shutdown(wait=False, cancel_futures=True)
                 # end-of-stream sentinel (or the worker's exception) — must be
