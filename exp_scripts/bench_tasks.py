@@ -38,6 +38,7 @@ def batch_for(task, cfg, bs, rng):
     elif task == "nlvr2":
         base.update(input_ids=ids(bs, cfg.max_text_len),
                     pixel_values=img(bs, 2, H, W, 3),
+                    patch_hw=np.tile([[cfg.grid_h, cfg.grid_w]], (bs, 2, 1)).astype(np.int32),
                     labels=rng.randint(0, 2, (bs,)).astype(np.int32))
     elif task == "vcr":
         base.update(input_ids=ids(bs, 4, cfg.max_text_len),
