@@ -62,13 +62,15 @@ def main(picks):
     model = create_cl_model(args, task_configs)
     cfg = model.cfg
     rng = np.random.RandomState(0)
+    host_params = jax.device_get(model.params)  # train_step donates its state
 
     for task in picks:
         # reference batch divisors: /2 nlvr2, /4 vcr (same sequences/step)
         bs = {"nlvr2": 32, "vcr": 16}.get(task, 64)
         accum = 4
-        tx = make_optimizer(model.params, lr=5e-5, total_steps=10_000)
-        state = TrainState.create(apply_fn=model.module.apply, params=model.params, tx=tx)
+        params = jax.tree_util.tree_map(jnp.asarray, host_params)
+        tx = make_optimizer(params, lr=5e-5, total_steps=10_000)
+        state = TrainState.create(apply_fn=model.module.apply, params=params, tx=tx)
         step = make_train_step(model.module, task, LOSS_TYPES[task],
                                cfg.compute_dtype, grad_accum_steps=accum)
         batch = batch_for(task, cfg, bs, rng)
