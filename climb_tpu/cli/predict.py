@@ -49,6 +49,9 @@ def build_parser():
                              "(0 = write all).")
     add_common_args(parser)
     add_tpu_args(parser)
+    # inference default: bf16 compute (MXU-native; ~2x f32 throughput).
+    # Training drivers keep f32 as the conservative default.
+    parser.set_defaults(compute_dtype="bfloat16")
     return parser
 
 
