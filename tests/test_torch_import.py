@@ -251,6 +251,37 @@ def test_driver_resumes_from_reference_torch_checkpoint(tmp_path):
     assert "vilt" in tree and "head_snli_ve" in tree
 
 
+def test_nlvr2_torch_encoder_checkpoint_expands_modalities(tmp_path):
+    """An 'nlvr2'-path torch encoder with 3 modality rows loads through
+    load_encoder_params: cfg expands to modality_type_vocab_size=3 and the
+    3-row table lands (reference load_vilt_encoder semantics,
+    vilt.py:503-511)."""
+    from transformers import ViltConfig as HFCfg, ViltModel
+
+    from climb_tpu.models.model_config import ViltConfig
+    from climb_tpu.train.model_factory import load_encoder_params
+
+    torch.manual_seed(4)
+    hf = ViltModel(HFCfg(**{**TINY, "modality_type_vocab_size": 3}))
+    sd = {f"vilt.{k}": v for k, v in hf.state_dict().items()}
+    d = tmp_path / "task1_nlvr2"
+    d.mkdir()
+    torch.save(sd, d / "encoder")
+
+    cfg = ViltConfig(
+        vocab_size=2048, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, image_height=64, image_width=96,
+        patch_size=32, pretrain_image_size=64,
+    )
+    params, cfg2 = load_encoder_params(str(d / "encoder"), cfg, pretrained="scratch")
+    assert cfg2.modality_type_vocab_size == 3
+    assert params["modality_type_embeddings"].shape == (3, 64)
+    np.testing.assert_allclose(
+        np.asarray(params["modality_type_embeddings"]),
+        hf.state_dict()["embeddings.token_type_embeddings.weight"].numpy(),
+    )
+
+
 def test_export_roundtrip_viltbert():
     """viltbert trees export as viltbert_encoder.{vilt,bert}.* and convert
     back to the identical nested tree."""
