@@ -44,8 +44,10 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         choices=["float32", "bfloat16"],
                         help="Compute dtype for the encoder.")
     parser.add_argument("--attn_impl", type=str, default="xla",
-                        choices=["xla", "xla_ckpt", "pallas"],
-                        help="Attention kernel implementation.")
+                        choices=["xla", "xla_ckpt", "pallas", "auto"],
+                        help="Attention kernel implementation ('auto' picks "
+                             "XLA below S=1024 and the Pallas long-sequence "
+                             "kernels above, per measured crossover).")
     parser.add_argument("--mlp_impl", type=str, default="xla",
                         choices=["xla", "pallas"],
                         help="MLP kernel implementation (pallas = fused "

@@ -56,8 +56,18 @@ def multi_head_attention(q, k, v, bias=None, impl: str = "xla"):
 
     - 'xla'        — plain einsum reference
     - 'xla_ckpt'   — einsum with S^2 intermediates recomputed in backward
-    - 'pallas'     — fused whole-sequence-in-VMEM Pallas kernel
+    - 'pallas'     — fused whole-sequence-in-VMEM Pallas kernel (itself
+                     switching to the KV-blocked flash kernel at long S)
+    - 'auto'       — measured crossover: XLA below S=1024 (wins at ViLT's
+                     ~280-token regime), Pallas at S>=1024 on TPU
+                     (1.45-1.76x XLA, docs/PARITY.md perf notes)
     """
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if q.shape[1] >= 1024 and jax.default_backend() == "tpu"
+            else "xla"
+        )
     if impl == "pallas":
         from climb_tpu.ops.pallas_attention import flash_attention
 

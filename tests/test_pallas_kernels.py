@@ -122,3 +122,21 @@ def test_blocked_backward_matches_xla(rng, monkeypatch):
     gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=3e-4, atol=3e-4)
+
+
+def test_attn_impl_auto_matches_xla_short_seq():
+    """'auto' must resolve to the XLA path below the S=1024 crossover (and
+    on non-TPU backends), matching it exactly."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from climb_tpu.ops.attention import multi_head_attention
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 96, 4, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 96, 4, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 96, 4, 16).astype(np.float32))
+    a = multi_head_attention(q, k, v, impl="xla")
+    b = multi_head_attention(q, k, v, impl="auto")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
