@@ -73,3 +73,28 @@ def test_algorithm_arg_validation(tmp_path):
     with pytest.raises(AssertionError):
         run(tmp_path, "--ordered_cl_tasks", "snli-ve,nlvr2",
             "--cl_algorithm", "experience_replay", "--do_train")  # no memory args
+
+
+def test_driver_with_mesh(tmp_path):
+    """--use_mesh shards the whole driver run over the 8-device CPU mesh
+    (DP x TP); results layout identical to the unsharded path."""
+    import json
+
+    from climb_tpu.cli.train_upstream_continual_learning import main as upstream_main
+
+    upstream_main([
+        "--encoder_name", "vilt",
+        "--pretrained_model_name", "scratch",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+        "--use_mesh", "--n_model", "2",
+        "--do_train",
+    ])
+    out = tmp_path / "vilt-singletask_ft-task0_snli-ve"
+    results = json.loads((out / "results.json").read_text())
+    assert results[0]["task_key"] == "snli-ve"
+    assert (out / "checkpoints" / "task0_snli-ve" / "model").is_file()
