@@ -42,6 +42,14 @@ def build_parser():
     parser.add_argument("--checkpoint", default=None, type=str,
                         help="Model checkpoint (native msgpack or reference "
                              "torch save; auto-detected).")
+    # adapter-trained checkpoints need the adapter modules rebuilt + the
+    # task's adapter activated (reference re-activates adapters before eval,
+    # evaluate_cl_algorithm.py:118-119)
+    parser.add_argument("--cl_algorithm", default=None, type=str,
+                        help="Set to 'adapter' for adapter-trained checkpoints.")
+    parser.add_argument("--adapter_method", default="vanilla", choices=["vanilla"])
+    parser.add_argument("--adapter_config", default="houlsby", type=str)
+    parser.add_argument("--adapter_reduction_factor", type=int, default=0)
     parser.add_argument("--climb_data_dir", type=str, default=".")
     parser.add_argument("--output_file", type=str, default="predictions.json")
     parser.add_argument("--max_predictions", type=int, default=0,
@@ -69,7 +77,12 @@ def main(argv=None):
     from climb_tpu.train import LOSS_TYPES, create_cl_model, get_task_trainer_class
     from climb_tpu.train.train_step import make_eval_step
 
-    model = create_cl_model(args, task_configs)
+    adapter_handler = None
+    if args.cl_algorithm == "adapter":
+        from climb_tpu.cl.adapters import AdapterHandler
+
+        adapter_handler = AdapterHandler(adapter_method=args.adapter_method, args=args)
+    model = create_cl_model(args, task_configs, adapter_handler=adapter_handler)
     if args.checkpoint and os.path.isfile(args.checkpoint):
         ckpt = load_params(args.checkpoint)
         merged, loaded, missing = partial_load(model.params, ckpt)
@@ -78,6 +91,8 @@ def main(argv=None):
                     args.checkpoint, len(loaded), len(missing))
     elif args.checkpoint:
         raise FileNotFoundError(args.checkpoint)
+    if adapter_handler is not None:
+        model = adapter_handler.activate_adapter_for_eval(args.task_key, model)
 
     trainer_cls = get_task_trainer_class(task_configs[args.task_key]["trainer"])
     trainer = trainer_cls(args, task_configs, model_config={"encoder_dim": model.cfg.hidden_size})

@@ -196,3 +196,39 @@ def test_load_encoder_params_viltbert_layouts(tmp_path):
         np.asarray(loaded["vilt"]["word_embeddings"]),
         np.asarray(params["vilt"]["word_embeddings"]),
     )
+
+
+def test_predict_cli_adapter_checkpoint(tmp_path):
+    """predict rebuilds adapter modules and activates the task's adapter for
+    adapter-trained checkpoints: every checkpoint tensor (incl. adapters)
+    must land in the rebuilt model."""
+    from climb_tpu.cli.predict import main as predict_main
+    from climb_tpu.cli.train_upstream_continual_learning import main as upstream_main
+
+    common = [
+        "--encoder_name", "vilt",
+        "--pretrained_model_name", "scratch",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--ordered_cl_tasks", "snli-ve,nlvr2",
+    ]
+    adapter = [
+        "--cl_algorithm", "adapter",
+        "--adapter_method", "vanilla",
+        "--adapter_config", "pfeiffer",
+        "--adapter_reduction_factor", "4",
+    ]
+    upstream_main(common + adapter + ["--do_train"])
+    exp = next(tmp_path.glob("vilt-adapter*"))
+    ckpt = exp / "checkpoints" / "task0_snli-ve" / "model"
+
+    out_file = tmp_path / "preds.json"
+    result = predict_main(common + adapter + [
+        "--task_key", "snli-ve",
+        "--checkpoint", str(ckpt),
+        "--output_file", str(out_file),
+    ])
+    assert 0.0 <= result["metric"] <= 100.0
+    assert len(result["predictions"]) == result["n_examples"]
