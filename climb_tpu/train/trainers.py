@@ -207,24 +207,40 @@ class VLTaskTrainer(TaskTrainer):
         best_path = _os.path.join(ckpt_dir, "best_model") if ckpt_dir else None
         start_epoch, resume_skip = 1, 0
         if state_path and save_every and _os.path.exists(state_path):
-            state, meta = load_train_state(state, state_path)
-            start_epoch = int(meta["epoch"]) + 1
-            resume_skip = int(meta.get("steps_into_epoch", 0))
-            global_step = int(meta["global_step"])
-            best_score = float(meta["best_score"])
-            self.best_epoch = int(meta["best_epoch"])
-            self.rng = jnp.asarray(meta["rng"])
-            if "py_random" in meta:  # ER buffer/replay sampling uses the
-                # python RNG — restore it so resumed trajectories with
-                # experience replay stay bit-identical too
-                py_random.setstate(pickle.loads(meta["py_random"].tobytes()))
-            if self.best_epoch > 0 and _os.path.exists(best_path):
-                best_params = load_params(best_path)
-            logger.info(
-                "task=%s: resuming from epoch %d (step %d, skip %d, best %.2f @ epoch %d)",
-                self.task_key, start_epoch, global_step, resume_skip,
-                best_score, self.best_epoch,
-            )
+            try:
+                state, meta = load_train_state(state, state_path)
+                start_epoch = int(meta["epoch"]) + 1
+                resume_skip = int(meta.get("steps_into_epoch", 0))
+                global_step = int(meta["global_step"])
+                best_score = float(meta["best_score"])
+                self.best_epoch = int(meta["best_epoch"])
+                self.rng = jnp.asarray(meta["rng"])
+                if "py_random" in meta:  # ER buffer/replay sampling uses the
+                    # python RNG — restore it so resumed trajectories with
+                    # experience replay stay bit-identical too
+                    py_random.setstate(pickle.loads(meta["py_random"].tobytes()))
+                if self.best_epoch > 0 and _os.path.exists(best_path):
+                    best_params = load_params(best_path)
+                logger.info(
+                    "task=%s: resuming from epoch %d (step %d, skip %d, best %.2f @ epoch %d)",
+                    self.task_key, start_epoch, global_step, resume_skip,
+                    best_score, self.best_epoch,
+                )
+            except Exception as e:
+                # a corrupt/truncated elastic checkpoint (host died mid-write
+                # of best_model, version skew, ...) must degrade to a fresh
+                # task run, not brick the experiment
+                logger.warning(
+                    "task=%s: elastic state at %s unusable (%s); restarting task",
+                    self.task_key, state_path, e,
+                )
+                start_epoch, resume_skip, global_step = 1, 0, 0
+                best_score, best_params, self.best_epoch = -1.0, None, -1
+                self.rng = jax.random.PRNGKey(getattr(self.args, "seed", 42))
+                tx = self.make_tx(model)
+                state = TrainState.create(
+                    apply_fn=model.module.apply, params=model.params, tx=tx
+                )
 
         # graceful preemption: SIGTERM -> save full state at the next step
         # boundary (incl. the loader position) and exit 143

@@ -137,3 +137,17 @@ def test_train_state_roundtrip_includes_optimizer_moments(tmp_path):
     s1, m1 = step(state, batch, jax.random.PRNGKey(7))
     s2, m2 = step(restored, batch, jax.random.PRNGKey(7))
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), abs=0)
+
+
+def test_corrupt_elastic_state_restarts_task(tmp_path):
+    """A truncated/garbage train_state (host died mid-write, version skew)
+    must degrade to a fresh task run instead of crashing the experiment."""
+    (tmp_path / "train_state").write_bytes(b"\x00garbage not msgpack")
+
+    args = make_args(tmp_path)
+    model = create_cl_model(args, task_configs)
+    trainer = _make_trainer(args, epochs=2)
+    score, trained = trainer.train(model)
+    assert 0.0 <= score <= 100.0
+    # completed run cleaned up its elastic state as usual
+    assert not (tmp_path / "train_state").exists()
