@@ -211,11 +211,19 @@ def main(argv=None):
             args.task_ckpt_dir = task_dir(output_dir, task_num, task_key)
             task_trainer = trainer_cls(args, task_configs, model_config)
 
+            ckpt = None
             if task_checkpoint_exists(output_dir, task_num, task_key):
+                try:
+                    ckpt = load_task_checkpoint(output_dir, task_num, task_key)
+                except Exception as e:
+                    logger.warning(
+                        "Checkpoint for task %s exists but is unreadable (%s); retraining",
+                        task_name, e,
+                    )
+            if ckpt is not None:
                 # resume: load checkpoint and move to the next task, with the
                 # reference's partial-load fallback (:222-240)
                 logger.info("Found checkpoint for task %s — loading and skipping", task_name)
-                ckpt = load_task_checkpoint(output_dir, task_num, task_key)
                 merged, loaded, missing = partial_load(model.params, ckpt)
                 model = model.with_params(merged)
                 if missing:

@@ -98,3 +98,37 @@ def test_driver_with_mesh(tmp_path):
     results = json.loads((out / "results.json").read_text())
     assert results[0]["task_key"] == "snli-ve"
     assert (out / "checkpoints" / "task0_snli-ve" / "model").is_file()
+
+
+def test_corrupt_task_checkpoint_retrains(tmp_path):
+    """An unreadable task checkpoint triggers retraining (with a warning),
+    not a crash — then the re-saved checkpoint is valid again."""
+    import json
+
+    from climb_tpu.ckpt import load_params
+    from climb_tpu.cli.train_upstream_continual_learning import main as upstream_main
+
+    base = [
+        "--encoder_name", "vilt",
+        "--pretrained_model_name", "scratch",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+        "--do_train",
+    ]
+    upstream_main(base)
+    exp = tmp_path / "vilt-singletask_ft-task0_snli-ve"
+    ckpt = exp / "checkpoints" / "task0_snli-ve" / "model"
+    ckpt.write_bytes(b"\x01corrupted")
+    # cached results would skip the task before the checkpoint is touched;
+    # clear them so the resume path exercises the corrupt file
+    (exp / "results.json").unlink()
+
+    upstream_main(base)  # must retrain, not crash
+    tree = load_params(str(ckpt))
+    assert "vilt" in tree
+    results = json.loads((exp / "results.json").read_text())
+    assert results[0]["task_key"] == "snli-ve"
