@@ -72,6 +72,10 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                              "(params + optimizer moments + rng) for mid-task "
                              "elastic resume; 0 disables (the reference can "
                              "only resume at task granularity).")
+    parser.add_argument("--eval_batch_size", type=int, default=None,
+                        help="Eval batch size (global, before per-task fold "
+                             "divisors); defaults to --batch_size. Eval is "
+                             "forward-only and runs faster at larger batches.")
     parser.add_argument("--no_sigterm_checkpoint", action="store_true",
                         help="Disable graceful preemption (by default, when "
                              "elastic checkpointing is on, SIGTERM saves the "

@@ -120,8 +120,16 @@ class VLTaskTrainer(TaskTrainer):
             num_workers=getattr(self.args, "num_workers", 2),
             worker_mode=getattr(self.args, "worker_mode", "thread"),
         )
+        # eval is forward-only and prefers larger batches (measured: forward
+        # throughput peaks well above the train batch size); --eval_batch_size
+        # overrides, with the same per-task fold divisor as training
+        eval_bs = getattr(self.args, "eval_batch_size", None)
+        eval_bs = (
+            max(1, int(eval_bs) // batch_divisor(self.task_cfg))
+            if eval_bs else self.batch_size
+        )
         self.eval_dataloader = DataLoader(
-            self.eval_dataset, self.batch_size, stack_collate, shuffle=False,
+            self.eval_dataset, eval_bs, stack_collate, shuffle=False,
             num_workers=getattr(self.args, "num_workers", 2),
             worker_mode=getattr(self.args, "worker_mode", "thread"),
         )

@@ -143,3 +143,19 @@ def test_padded_rows_do_not_contribute_to_loss():
         "vqa_bce",
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_eval_batch_size_does_not_change_score(snli_trained):
+    """Eval at a different batch size must give the identical score (padding
+    rows are masked out of the metric)."""
+    args, trainer, _, model = snli_trained
+    base = trainer.eval(model.params, model)
+
+    old = getattr(args, "eval_batch_size", None)
+    args.eval_batch_size = 6  # uneven: forces a padded final batch
+    try:
+        trainer2 = type(trainer)(args, task_configs, model_config={"encoder_dim": 64})
+        score = trainer2.eval(model.params, model)
+    finally:
+        args.eval_batch_size = old
+    assert score == pytest.approx(base, abs=1e-6)
