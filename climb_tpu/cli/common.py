@@ -74,8 +74,10 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                              "only resume at task granularity).")
     parser.add_argument("--eval_batch_size", type=int, default=None,
                         help="Eval batch size (global, before per-task fold "
-                             "divisors); defaults to --batch_size. Eval is "
-                             "forward-only and runs faster at larger batches.")
+                             "divisors); defaults to --batch_size. Measured "
+                             "on v5e the forward peaks at 64 (1525 ex/s; 128 "
+                             "and 256 are slower) — use this to go SMALLER "
+                             "on memory-tight configs.")
     parser.add_argument("--no_sigterm_checkpoint", action="store_true",
                         help="Disable graceful preemption (by default, when "
                              "elastic checkpointing is on, SIGTERM saves the "
