@@ -51,6 +51,12 @@ def build_parser():
     parser.add_argument("--adapter_config", default="houlsby", type=str)
     parser.add_argument("--adapter_reduction_factor", type=int, default=0)
     parser.add_argument("--climb_data_dir", type=str, default=".")
+    parser.add_argument("--input_jsonl", type=str, default=None,
+                        help="Serve raw inputs instead of a dataset split: "
+                             "one JSON object per line — single-image tasks "
+                             '{"text", "image": path, "label"?}; nlvr2 '
+                             '{"text", "images": [a, b], "label"?}; '
+                             'multi-choice {"choices": [...], "image", "label"?}.')
     parser.add_argument("--output_file", type=str, default="predictions.json")
     parser.add_argument("--max_predictions", type=int, default=0,
                         help="Cap the prediction list in the output JSON "
@@ -94,11 +100,14 @@ def main(argv=None):
     if adapter_handler is not None:
         model = adapter_handler.activate_adapter_for_eval(args.task_key, model)
 
-    trainer_cls = get_task_trainer_class(task_configs[args.task_key]["trainer"])
-    trainer = trainer_cls(args, task_configs, model_config={"encoder_dim": model.cfg.hidden_size})
     eval_step = make_eval_step(
         model.module, args.task_key, LOSS_TYPES[args.task_key], model.cfg.compute_dtype
     )
+    if args.input_jsonl:
+        return _predict_from_jsonl(args, model, eval_step)
+
+    trainer_cls = get_task_trainer_class(task_configs[args.task_key]["trainer"])
+    trainer = trainer_cls(args, task_configs, model_config={"encoder_dim": model.cfg.hidden_size})
 
     preds, total, count, n = [], 0.0, 0.0, 0
     t0 = None
@@ -129,6 +138,88 @@ def main(argv=None):
         json.dump(out, f)
     logger.info("task=%s: metric=%.2f over %d examples (%.1f ex/s) -> %s",
                 args.task_key, score, n, ex_s, args.output_file)
+    return out
+
+
+def _predict_from_jsonl(args, model, eval_step):
+    """Serve raw JSONL inputs through the AOT input processor (tokenize +
+    canvas), fixed-shape batches, one jitted forward per batch."""
+    import jax.numpy as jnp
+
+    from climb_tpu.data.loader import pad_batch
+    from climb_tpu.data.processor import ViltInputProcessor
+    from climb_tpu.data.tokenization import load_tokenizer
+    from climb_tpu.train import LOSS_TYPES
+
+    cfg = model.cfg
+    spec = next(s for s in model.head_specs if s.task_key == args.task_key)
+    loss_type = LOSS_TYPES[args.task_key]
+    proc = ViltInputProcessor(
+        load_tokenizer(getattr(args, "tokenizer", "bert-base-uncased"),
+                       getattr(args, "vocab_path", None)),
+        cfg.max_text_len, (cfg.image_height, cfg.image_width), cfg.patch_size,
+    )
+
+    with open(args.input_jsonl) as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+
+    def load_img(p):
+        if isinstance(p, str):
+            from PIL import Image
+
+            return Image.open(p)
+        return np.asarray(p)
+
+    preds, total, count = [], 0.0, 0.0
+    have_labels = True
+    t0 = None
+    bs = args.batch_size
+    for i in range(0, len(rows), bs):
+        chunk = rows[i : i + bs]
+        if spec.model_type == "multi-choice":
+            batch = proc.multi_choice(
+                [r["choices"] for r in chunk], [load_img(r["image"]) for r in chunk]
+            )
+        elif spec.num_images == 2:
+            batch = proc(
+                [r["text"] for r in chunk],
+                [[load_img(r["images"][0]), load_img(r["images"][1])] for r in chunk],
+            )
+        else:
+            batch = proc([r["text"] for r in chunk], [load_img(r["image"]) for r in chunk])
+        labels = [r.get("label") for r in chunk]
+        have_labels = have_labels and all(l is not None for l in labels)
+        int_labels = np.asarray([l if l is not None else 0 for l in labels], np.int32)
+        if loss_type == "vqa_bce":  # metric = soft score; one-hot from labels
+            ts = np.zeros((len(chunk), spec.num_labels), np.float32)
+            ts[np.arange(len(chunk)), int_labels] = 1.0
+            batch["target_scores"] = ts
+        else:
+            batch["labels"] = int_labels
+        batch = pad_batch(batch, bs)
+        logits, s, c = eval_step(model.params, {k: jnp.asarray(v) for k, v in batch.items()})
+        if t0 is None:
+            float(s)
+            t0 = time.perf_counter()
+        preds.extend(np.asarray(jnp.argmax(logits, axis=-1))[: len(chunk)].tolist())
+        total += float(s)
+        count += float(c)
+    elapsed = max(time.perf_counter() - (t0 or time.perf_counter()), 1e-9)
+
+    out = {
+        "task_key": args.task_key,
+        "checkpoint": args.checkpoint,
+        "metric": (100.0 * total / max(count, 1.0)) if have_labels else None,
+        "n_examples": len(rows),
+        "examples_per_sec": round(len(rows) / elapsed, 1),
+        "predictions": preds[: args.max_predictions] if args.max_predictions else preds,
+    }
+    os.makedirs(os.path.dirname(args.output_file) or ".", exist_ok=True)
+    with open(args.output_file, "w") as f:
+        json.dump(out, f)
+    logger.info("task=%s: %d raw examples, metric=%s (%.1f ex/s) -> %s",
+                args.task_key, len(rows), out["metric"], out["examples_per_sec"],
+                args.output_file)
     return out
 
 

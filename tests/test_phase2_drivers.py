@@ -232,3 +232,60 @@ def test_predict_cli_adapter_checkpoint(tmp_path):
     ])
     assert 0.0 <= result["metric"] <= 100.0
     assert len(result["predictions"]) == result["n_examples"]
+
+
+def test_predict_from_raw_jsonl(tmp_path):
+    """Serving mode: raw {"text", "image"} JSONL through the AOT processor,
+    no dataset directory needed."""
+    import numpy as np
+    from PIL import Image
+
+    from climb_tpu.cli.predict import main as predict_main
+    from climb_tpu.cli.train_upstream_continual_learning import main as upstream_main
+
+    base = [
+        "--encoder_name", "vilt",
+        "--pretrained_model_name", "scratch",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+    ]
+    upstream_main(base + ["--do_train"])
+    ckpt = (tmp_path / "vilt-singletask_ft-task0_snli-ve" / "checkpoints"
+            / "task0_snli-ve" / "model")
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(5):  # odd count: exercises the padded final batch
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(rng.randint(0, 255, (48, 72, 3), dtype=np.uint8)).save(p)
+        rows.append({"text": f"a photo number {i}", "image": str(p), "label": i % 3})
+    jl = tmp_path / "inputs.jsonl"
+    jl.write_text("\n".join(json.dumps(r) for r in rows))
+
+    out_file = tmp_path / "preds.json"
+    result = predict_main(base + [
+        "--task_key", "snli-ve",
+        "--checkpoint", str(ckpt),
+        "--input_jsonl", str(jl),
+        "--output_file", str(out_file),
+    ])
+    assert result["n_examples"] == 5
+    assert len(result["predictions"]) == 5
+    assert all(p in (0, 1, 2) for p in result["predictions"])
+    assert result["metric"] is not None  # labels present
+
+    # without labels the metric is None but predictions still come back
+    jl2 = tmp_path / "inputs2.jsonl"
+    jl2.write_text("\n".join(json.dumps({k: v for k, v in r.items() if k != "label"}) for r in rows))
+    result2 = predict_main(base + [
+        "--task_key", "snli-ve",
+        "--checkpoint", str(ckpt),
+        "--input_jsonl", str(jl2),
+        "--output_file", str(tmp_path / "preds2.json"),
+    ])
+    assert result2["metric"] is None
+    assert result2["predictions"] == result["predictions"]
