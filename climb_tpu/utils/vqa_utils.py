@@ -53,3 +53,10 @@ def create_vqa_labels(vqa_dir: str, min_occurrences: int = 9) -> dict:
     with open(out_path, "wb") as f:
         pickle.dump(ans2label, f)
     return ans2label
+
+
+if __name__ == "__main__":  # offline tool parity (reference vqa_utils.py:55-56)
+    import sys
+
+    labels = create_vqa_labels(sys.argv[1] if len(sys.argv) > 1 else ".")
+    print(f"wrote ans2label.pkl with {len(labels)} answers")
