@@ -5,23 +5,35 @@ SURVEY.md section 7) on the full-size ViLT-B/32 continual learner at the
 reference's global batch size (64): forward + backward + AdamW update, input
 batch in uint8 (device-side normalization), bf16 compute.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default output is ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"mfu", "baseline_basis", ...}. Flags add more measurements (one JSON line
+each):
+  --with-loader   feed the step from the real host pipeline (synthetic
+                  dataset -> DataLoader thread workers -> device_prefetch)
+                  and report loader-fed throughput vs the static batch.
+  --ref-preproc   microbench the reference's per-step host preprocessing
+                  (PIL resize + float normalize + pad + tokenize for a
+                  64-image batch, reference src/modeling/vilt.py:83-96)
+                  to substantiate the input-bound baseline reading.
 
 Baseline derivation (the reference publishes no throughput numbers —
 BASELINE.md): the reference's train step runs HF ViltModel on one GPU with
 per-step, main-process ViltProcessor preprocessing (PIL resize + normalize +
 tokenize for the whole batch inside model.forward, src/modeling/vilt.py:83-96)
-— an input-bound pipeline. Estimate for A100:
-  - compute: ~152 GFLOPs/example (train = 3x fwd; 12 layers, d=768, seq=281)
-    -> ~600 ex/s at a generous 30% MFU of 312 TFLOPS bf16
-  - input path: per-step CPU preprocessing of 64 images (resize to 384x640,
-    normalize, tokenize) costs ~0.4-0.6 s/step single-process -> caps the
-    pipeline at ~110-160 ex/s
-  => reference A100 estimate: 150 ex/s (input-bound). North-star target
-     (BASELINE.json) is 3x that = 450 ex/s/chip.
-vs_baseline = measured / 450  (>= 1.0 means the 3x target is met).
+— an input-bound pipeline. Two A100 readings:
+  - compute-bound: ~152 GFLOPs/example (train = 3x fwd; 12 layers, d=768,
+    seq=281) -> ~600 ex/s at a generous 30% MFU of 312 TFLOPS bf16.
+    3x of this (1800 ex/s) is PHYSICALLY IMPOSSIBLE on one v5e chip:
+    1800 x 152 GFLOPs = 274 TFLOPs > 197 TFLOPs peak bf16.
+  - input-bound: per-step main-process CPU preprocessing of 64 images caps
+    the pipeline at ~110-160 ex/s (measurable via --ref-preproc; on a normal
+    host PIL resize+normalize alone costs several ms/image single-threaded).
+  => the 3x north-star target (BASELINE.json) uses the input-bound reading:
+     3 x 150 = 450 ex/s/chip. vs_baseline = measured / 450. The JSON carries
+     both readings and the basis so the claim is auditable.
 """
 
+import argparse
 import json
 import time
 from types import SimpleNamespace
@@ -30,37 +42,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_A100_EXAMPLES_PER_SEC = 150.0
-TARGET_MULTIPLier = 3.0
-TARGET = REFERENCE_A100_EXAMPLES_PER_SEC * TARGET_MULTIPLier
+A100_INPUT_BOUND_EX_S = 150.0   # reference estimate, input-bound reading
+A100_COMPUTE_BOUND_EX_S = 600.0  # reference estimate, compute-bound reading
+TARGET_MULTIPLIER = 3.0
+TARGET = A100_INPUT_BOUND_EX_S * TARGET_MULTIPLIER
+V5E_PEAK_BF16_TFLOPS = 197.0
 
 BATCH = 64
 WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
 
-def main():
+def train_gflops_per_example(cfg) -> float:
+    """Analytic matmul FLOPs per example for one train step (fwd + bwd = 3x
+    fwd). Per layer: QKV+out-proj 8*S*D^2, attention scores+context 4*S^2*D,
+    MLP (D->4D->D) 16*S*D^2; embeddings/heads are <1% and ignored."""
+    s = cfg.max_text_len + 1 + cfg.num_patches
+    d = cfg.hidden_size
+    per_layer = 24.0 * s * d * d + 4.0 * s * s * d
+    return 3.0 * cfg.num_layers * per_layer / 1e9
+
+
+def build_state_and_step(args):
     from climb_tpu.configs import task_configs
     from climb_tpu.train import TrainState, create_cl_model, make_train_step
     from climb_tpu.train.optimizer import make_optimizer
 
-    args = SimpleNamespace(
-        batch_size=BATCH,
-        seed=0,
-        ordered_cl_tasks=["vqa", "nlvr2", "snli-ve", "vcr"],
-        encoder_name="vilt",
-        pretrained_model_name="scratch",
-        tiny=False,
-        synthetic=True,
-        compute_dtype="bfloat16",
-        attn_impl="xla",
-        remat=True,       # 16G HBM on v5e: rematerialize at batch 64
-        remat_policy="selective",  # save all but attn_probs (sweep winner)
-        scan_unroll=12,   # fully unroll the layer scan (+27% step time)
-    )
     model = create_cl_model(args, task_configs)
     cfg = model.cfg
-
     tx = make_optimizer(model.params, lr=5e-5, total_steps=10_000, warmup_ratio=0.1)
     state = TrainState.create(apply_fn=model.module.apply, params=model.params, tx=tx)
     # 4 microbatches of 16 inside one jitted step: identical optimizer
@@ -70,9 +79,11 @@ def main():
     train_step = make_train_step(
         model.module, "snli-ve", "ce", cfg.compute_dtype, grad_accum_steps=4
     )
+    return model, cfg, state, train_step
 
-    rng = np.random.RandomState(0)
-    batch = {
+
+def static_batch(cfg, rng):
+    return {
         "input_ids": jnp.asarray(rng.randint(1, cfg.vocab_size, (BATCH, cfg.max_text_len)), jnp.int32),
         "text_mask": jnp.ones((BATCH, cfg.max_text_len), jnp.float32),
         "pixel_values": jnp.asarray(
@@ -84,6 +95,8 @@ def main():
         "labels": jnp.asarray(rng.randint(0, 3, (BATCH,)), jnp.int32),
     }
 
+
+def bench_static(state, train_step, batch):
     key = jax.random.PRNGKey(0)
     for _ in range(WARMUP_STEPS):
         key, sub = jax.random.split(key)
@@ -101,8 +114,124 @@ def main():
             state, metrics = train_step(state, batch, sub)
         float(metrics["loss"])  # hard sync
         best_dt = min(best_dt, time.perf_counter() - t0)
+    return BATCH * MEASURE_STEPS / best_dt, state
 
-    examples_per_sec = BATCH * MEASURE_STEPS / best_dt
+
+def bench_loader_fed(state, train_step, cfg, n_steps: int = 6):
+    """Host pipeline -> device: synthetic dataset -> DataLoader (thread
+    workers) -> device_prefetch -> train step. Proves the end-to-end path;
+    NOTE on this dev VM host memory bandwidth is ~20 MB/s, so any host-side
+    batch work is machine-bound here (CLAUDE.md) — the harness, not this
+    box's number, is the deliverable."""
+    from climb_tpu.configs import task_configs
+    from climb_tpu.data.collation import stack_collate
+    from climb_tpu.data.loader import DataLoader, device_prefetch
+    from climb_tpu.data.synthetic import make_synthetic_vl_dataset
+
+    ds = make_synthetic_vl_dataset(
+        "snli-ve", task_configs["snli-ve"], "train", BATCH * n_steps,
+        canvas_hw=(cfg.image_height, cfg.image_width),
+    )
+    loader = DataLoader(ds, BATCH, stack_collate, shuffle=True, drop_last=True,
+                        num_workers=4, prefetch=2)
+
+    def put(b):
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    key = jax.random.PRNGKey(1)
+    # one warm epoch (shapes already compiled by the static warmup, but the
+    # loader-fed batch dict has the extra 'valid'/'token_type_ids' keys ->
+    # possibly a fresh jit cache entry)
+    for batch in device_prefetch(iter(loader), put):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+    float(metrics["loss"])
+
+    n = 0
+    t0 = time.perf_counter()
+    for batch in device_prefetch(iter(loader), put):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+        n += BATCH
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def bench_ref_preproc(n_images: int = BATCH, trials: int = 3):
+    """Reference-style per-step host preprocessing cost for one batch:
+    PIL resize to the ViLT grid + float32 rescale/normalize + pad-stack +
+    tokenize (what HF ViltProcessor does inside model.forward every step,
+    reference src/modeling/vilt.py:83-96). Single-threaded main-process work,
+    exactly like the reference. Returns (sec_per_batch, implied_ex_s_cap)."""
+    from PIL import Image
+
+    from climb_tpu.data.tokenization import load_tokenizer
+
+    rng = np.random.RandomState(0)
+    # typical COCO/Flickr30K source size
+    srcs = [
+        Image.fromarray(rng.randint(0, 255, (375, 500, 3), dtype=np.uint8))
+        for _ in range(n_images)
+    ]
+    texts = ["a person riding a horse on the beach near the water"] * n_images
+    tok = load_tokenizer("synthetic")
+    mean = np.array([0.5, 0.5, 0.5], np.float32)
+    std = np.array([0.5, 0.5, 0.5], np.float32)
+
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        arrs = []
+        for im in srcs:
+            w, h = im.size  # shorter side -> 384, longer capped at 640
+            scale = 384 / min(w, h)
+            tw, th = int(w * scale), int(h * scale)
+            if max(tw, th) > 640:
+                s2 = 640 / max(tw, th)
+                tw, th = int(tw * s2), int(th * s2)
+            tw, th = (tw // 32) * 32, (th // 32) * 32
+            r = im.resize((tw, th), Image.BICUBIC)
+            a = np.asarray(r, np.float32) / 255.0
+            arrs.append((a - mean) / std)
+        mh = max(a.shape[0] for a in arrs)
+        mw = max(a.shape[1] for a in arrs)
+        out = np.zeros((n_images, mh, mw, 3), np.float32)
+        for i, a in enumerate(arrs):
+            out[i, : a.shape[0], : a.shape[1]] = a
+        for t in texts:
+            tok.encode(t, 40)
+        best = min(best, time.perf_counter() - t0)
+    return best, n_images / best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--with-loader", action="store_true")
+    ap.add_argument("--ref-preproc", action="store_true")
+    flags = ap.parse_args()
+
+    args = SimpleNamespace(
+        batch_size=BATCH,
+        seed=0,
+        ordered_cl_tasks=["vqa", "nlvr2", "snli-ve", "vcr"],
+        encoder_name="vilt",
+        pretrained_model_name="scratch",
+        tiny=False,
+        synthetic=True,
+        compute_dtype="bfloat16",
+        attn_impl="xla",
+        remat=True,       # 16G HBM on v5e: rematerialize at batch 64
+        remat_policy="selective",  # save all but attn_probs (sweep winner)
+        scan_unroll=12,   # fully unroll the layer scan (+27% step time)
+    )
+    model, cfg, state, train_step = build_state_and_step(args)
+    rng = np.random.RandomState(0)
+    batch = static_batch(cfg, rng)
+
+    examples_per_sec, state = bench_static(state, train_step, batch)
+    gflops = train_gflops_per_example(cfg)
+    mfu = examples_per_sec * gflops / 1e3 / V5E_PEAK_BF16_TFLOPS
     print(
         json.dumps(
             {
@@ -110,9 +239,57 @@ def main():
                 "value": round(examples_per_sec, 2),
                 "unit": "examples/sec/chip",
                 "vs_baseline": round(examples_per_sec / TARGET, 3),
+                "mfu": round(mfu, 3),
+                "train_gflops_per_example": round(gflops, 1),
+                "baseline_basis": "input_bound",
+                "baseline_a100_input_bound_ex_s": A100_INPUT_BOUND_EX_S,
+                "baseline_a100_compute_bound_ex_s": A100_COMPUTE_BOUND_EX_S,
+                "target_ex_s": TARGET,
+                "note": "3x of the compute-bound reading (1800 ex/s) exceeds "
+                        "v5e peak bf16 and is unreachable on any single chip "
+                        "of this class; basis details in BASELINE.md",
             }
         )
     )
+
+    if flags.with_loader:
+        loader_ex_s = bench_loader_fed(state, train_step, cfg)
+        print(
+            json.dumps(
+                {
+                    "metric": "snli-ve_train_examples_per_sec_loader_fed",
+                    "value": round(loader_ex_s, 2),
+                    "unit": "examples/sec/chip",
+                    "vs_baseline": round(loader_ex_s / TARGET, 3),
+                    "static_batch_ex_s": round(examples_per_sec, 2),
+                    "step_inflation": round(examples_per_sec / max(loader_ex_s, 1e-9), 3),
+                    "host_caveat": "this dev VM's ~20MB/s host memory "
+                    "bandwidth makes host-side batch assembly machine-bound "
+                    "(CLAUDE.md); on a production TPU host the loader hides "
+                    "behind the step",
+                }
+            )
+        )
+
+    if flags.ref_preproc:
+        sec_per_batch, cap = bench_ref_preproc()
+        print(
+            json.dumps(
+                {
+                    "metric": "reference_style_preproc_sec_per_batch64",
+                    "value": round(sec_per_batch, 3),
+                    "unit": "sec/batch (implies input-bound cap of "
+                            f"{cap:.0f} ex/s on THIS host)",
+                    "vs_baseline": round(
+                        sec_per_batch / (BATCH / A100_INPUT_BOUND_EX_S), 3
+                    ),
+                    "implied_input_bound_ex_s": round(cap, 1),
+                    "host_caveat": "measured on this VM's slow host; an A100 "
+                    "host is faster but the same single-threaded per-step "
+                    "work bounds the reference at O(100) ex/s",
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -136,11 +136,29 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray]) -> dict:
     return tree
 
 
-def load_reference_checkpoint(path: str) -> dict:
-    """torch.load a reference checkpoint file and convert it."""
+def load_reference_checkpoint(path: str, allow_pickle: bool = False) -> dict:
+    """torch.load a reference checkpoint file and convert it.
+
+    Loads with ``weights_only=True``: checkpoint flags are routinely pointed
+    at externally produced files, and a full unpickle of untrusted data is
+    arbitrary code execution. State dicts (the only layout the reference
+    writes, train_upstream_continual_learning.py:260-267) load fine this way;
+    pass ``allow_pickle=True`` only for trusted non-tensor payloads on torch
+    versions without weights_only support.
+    """
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except TypeError:  # torch too old for the weights_only kwarg
+        if not allow_pickle:
+            raise RuntimeError(
+                f"{path}: this torch lacks torch.load(weights_only=True); "
+                "refusing to unpickle. Pass allow_pickle=True only if the "
+                "file is trusted."
+            )
+        logger.warning("Unpickling %s without weights_only (trusted opt-in)", path)
+        sd = torch.load(path, map_location="cpu")
     if not isinstance(sd, dict):
         raise ValueError(f"{path}: expected a state dict, got {type(sd)}")
     return convert_torch_state_dict(sd)

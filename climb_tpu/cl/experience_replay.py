@@ -99,6 +99,7 @@ class TaskMemoryBuffer:
         else:
             self.memory_idxs = random.sample(range(len(self.dataset)), self.memory_size)
         self._replay_step = None
+        self._replay_step_key = None
         logger.info(
             "Created %s replay memory buffer with %d samples",
             self.task_name, len(self.memory_idxs),
@@ -112,7 +113,18 @@ class TaskMemoryBuffer:
         return collate_from_indices(self.dataset, sampled, self.batch_collate_fn, self.batch_size)
 
     def replay_step_fn(self, model):
-        """Lazily-built jitted replay step (fresh optimizer per call)."""
+        """Lazily-built jitted replay step (fresh optimizer per call).
+
+        Cached per (module, trainable_mask) identity: the optimizer baked
+        into the step closes over the mask, so a model whose mask or module
+        changed between tasks (adapters/freezing combined with ER) must not
+        reuse a stale step. Identity keying over-invalidates at worst (a
+        re-jit), never under-invalidates.
+        """
+        key = (id(model.module), id(model.trainable_mask))
+        if self._replay_step_key != key:
+            self._replay_step = None
+            self._replay_step_key = key
         if self._replay_step is None:
             trainer = self.task_trainer
             tx = make_optimizer(

@@ -117,10 +117,14 @@ def main(argv=None):
         if t0 is None:  # exclude compile time from throughput
             float(s)
             t0, n0 = time.perf_counter(), 0
-        preds.extend(np.asarray(jax.numpy.argmax(logits, axis=-1)).tolist())
+        argmax = np.asarray(jax.numpy.argmax(logits, axis=-1))
+        # drop padded rows of the final batch (eval loader pads to a fixed
+        # shape) so predictions align 1:1 with dataset example order
+        valid = np.asarray(batch["valid"]).astype(bool) if "valid" in batch else np.ones(argmax.shape[0], bool)
+        preds.extend(argmax[valid].tolist())
         total += float(s)
         count += float(c)
-        n += int(batch[next(iter(batch))].shape[0])
+        n += int(valid.sum())
     elapsed = max(time.perf_counter() - (t0 or time.perf_counter()), 1e-9)
     score = 100.0 * total / max(count, 1.0)
     ex_s = n / elapsed

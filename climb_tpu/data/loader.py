@@ -245,11 +245,19 @@ class DataLoader:
                 else:
                     pool.shutdown(wait=False, cancel_futures=True)
                 # end-of-stream sentinel (or the worker's exception) — must be
-                # delivered even on failure or the consumer blocks forever
-                try:
-                    q.put(("__done__", err), timeout=5)
-                except queue.Full:
-                    pass  # consumer already gone (stop_evt drain)
+                # delivered even on failure or the consumer blocks forever.
+                # A full queue does NOT mean the consumer is gone: it may be
+                # stalled for minutes (first-step JIT compile, replay step),
+                # so retry until delivered and abandon only once the consumer
+                # has signalled exit via stop_evt.
+                sentinel = ("__done__", err)
+                while True:
+                    try:
+                        q.put(sentinel, timeout=1)
+                        break
+                    except queue.Full:
+                        if stop_evt.is_set():
+                            break
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -77,6 +77,11 @@ def detokenize_vcr_text(mytext, objects) -> str:
 class VLDatasetBase:
     """Shared fixed-shape emission: AOT text encoding + canvas images."""
 
+    # FIFO-bounded memo: full VQA has ~443k distinct questions — an unbounded
+    # cache is hundreds of MB on an already memory-starved host, and the
+    # native tokenizer makes misses nearly free anyway.
+    TOK_CACHE_MAX = 65536
+
     def __init__(self, tokenizer, max_text_len: int, canvas_hw: Tuple[int, int], patch_size: int = 32):
         self.tokenizer = tokenizer
         self.max_text_len = max_text_len
@@ -88,6 +93,8 @@ class VLDatasetBase:
         cached = self._tok_cache.get(text)
         if cached is None:
             cached = self.tokenizer.encode(text, self.max_text_len)
+            if len(self._tok_cache) >= self.TOK_CACHE_MAX:
+                self._tok_cache.pop(next(iter(self._tok_cache)))
             self._tok_cache[text] = cached
         return cached
 
@@ -169,9 +176,13 @@ class VQADataset(VLDatasetBase):
         return out
 
     def convert_to_low_shot(self, percentage: float = None, num_shots_per_class=None, seed=None):
+        """seed=None reproduces the reference (global python RNG,
+        vqa_dataset.py:173-187); an explicit seed gives a self-contained
+        draw independent of global RNG state."""
         assert self.split == "train"
         n = int(percentage * self.n_examples)
-        self.data = random.sample(self.data, n)
+        rng = random.Random(seed) if seed is not None else random
+        self.data = rng.sample(self.data, n)
         self.n_examples = len(self.data)
         logger.info("VQA low-shot: %d examples (%.1f%%)", n, percentage * 100)
         return self
@@ -225,11 +236,14 @@ class NLVR2Dataset(VLDatasetBase):
         return out
 
     def convert_to_low_shot(self, percentage=None, num_shots_per_class: int = None, seed=None):
+        """seed=None reproduces the reference (global python RNG,
+        nlvr2_dataset.py:118-134); an explicit seed is self-contained."""
         assert self.split == "train"
+        rng = random.Random(seed) if seed is not None else random
         new_data = []
         for i in range(self.num_labels):
             i_examples = [d for d in self.data if d["labels"] == i]
-            new_data.extend(random.sample(i_examples, min(num_shots_per_class, len(i_examples))))
+            new_data.extend(rng.sample(i_examples, min(num_shots_per_class, len(i_examples))))
         self.data = new_data
         self.n_examples = len(self.data)
         logger.info("NLVR2 low-shot: %d examples", self.n_examples)
@@ -279,11 +293,14 @@ class SnliVEDataset(VLDatasetBase):
         return out
 
     def convert_to_low_shot(self, percentage=None, num_shots_per_class: int = None, seed=None):
+        """seed=None reproduces the reference (global python RNG,
+        snli_ve_dataset.py:127-142); an explicit seed is self-contained."""
         assert self.split == "train"
+        rng = random.Random(seed) if seed is not None else random
         new_data = []
         for i in range(self.num_labels):
             i_examples = [d for d in self.data if d["label"] == i]
-            new_data.extend(random.sample(i_examples, min(num_shots_per_class, len(i_examples))))
+            new_data.extend(rng.sample(i_examples, min(num_shots_per_class, len(i_examples))))
         self.data = new_data
         self.n_examples = len(self.data)
         logger.info("SNLI-VE low-shot: %d examples", self.n_examples)
@@ -353,9 +370,12 @@ class VCRDataset(VLDatasetBase):
         }
 
     def convert_to_low_shot(self, percentage: float = None, num_shots_per_class=None, seed=None):
+        """seed=None reproduces the reference (global python RNG,
+        vcr_dataset.py:173-187); an explicit seed is self-contained."""
         assert self.split == "train"
         n = int(percentage * self.n_examples)
-        self.data = random.sample(self.data, n)
+        rng = random.Random(seed) if seed is not None else random
+        self.data = rng.sample(self.data, n)
         self.n_examples = len(self.data)
         logger.info("VCR low-shot: %d examples", self.n_examples)
         return self

@@ -215,6 +215,7 @@ class VLTaskTrainer(TaskTrainer):
         best_path = _os.path.join(ckpt_dir, "best_model") if ckpt_dir else None
         start_epoch, resume_skip = 1, 0
         if state_path and save_every and _os.path.exists(state_path):
+            py_rng_before = py_random.getstate()
             try:
                 state, meta = load_train_state(state, state_path)
                 start_epoch = int(meta["epoch"]) + 1
@@ -244,6 +245,11 @@ class VLTaskTrainer(TaskTrainer):
                 )
                 start_epoch, resume_skip, global_step = 1, 0, 0
                 best_score, best_params, self.best_epoch = -1.0, None, -1
+                # the failure may have happened AFTER py_random.setstate ran
+                # (e.g. a corrupt best_model): restore the pre-resume python
+                # RNG so the restarted task's replay sampling matches a
+                # genuinely fresh run
+                py_random.setstate(py_rng_before)
                 self.rng = jax.random.PRNGKey(getattr(self.args, "seed", 42))
                 tx = self.make_tx(model)
                 state = TrainState.create(

@@ -33,3 +33,24 @@ def rng():
 def _assert_cpu_mesh():
     assert jax.default_backend() == "cpu"
     assert len(jax.devices()) == 8
+
+
+# Fast broad-coverage subset: `pytest -m smoke` finishes in ~2-3 min on this
+# 1-core VM (vs ~27 min for the full suite) — one module per subsystem, all
+# pure-numpy or tiny-model tests.
+_SMOKE_MODULES = {
+    "test_utils.py",            # score/forgetting/normalize formulas
+    "test_loader.py",           # loader + prefetch + failure semantics
+    "test_cl_algorithms.py",    # ER/EWC/freeze math + host sharding
+    "test_processor.py",        # AOT input processor + converters
+    "test_optimizer.py",        # AdamW groups, schedule, masks
+    "test_sharding.py",         # DP/TP mesh equivalence (8-dev CPU)
+    "test_surgery.py",          # pytree surgeries
+    "test_multipass_equivalence.py",  # NLVR2/VCR fold == sequential
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.basename in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
