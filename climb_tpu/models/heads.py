@@ -18,7 +18,8 @@ class ClassificationHead(nn.Module):
     def __call__(self, pooled, deterministic: bool = True):
         hidden = self.encoder_dim * 2
         h = nn.Dense(hidden, dtype=self.dtype, name="fc1")(pooled)
-        h = nn.LayerNorm(dtype=self.dtype, name="ln")(h)
+        # eps matches torch nn.LayerNorm's default (the reference head's LN)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(h)
         h = nn.gelu(h, approximate=False)
         return nn.Dense(self.num_labels, dtype=self.dtype, name="fc2")(h)
 

@@ -37,11 +37,29 @@ def polynomial_warmup_schedule(
 
 
 def weight_decay_mask(params) -> dict:
-    """True where weight decay applies: everything except biases & LN scales."""
+    """True where weight decay applies — the reference's EXACT grouping.
+
+    Reference (vilt.py:209-213): ``no_decay = ['bias', 'LayerNorm.weight']``
+    substring-matched against torch parameter names. On HF ViltModel that
+    excludes all biases and ONLY ``text_embeddings.LayerNorm.weight`` — the
+    encoder layer norms are lowercase (``layernorm_before/after.weight``),
+    the final ``layernorm.weight`` likewise, and head LayerNorms appear as
+    ``task_layer.<k>.1.weight``, so the reference DECAYS all of those.
+    Faithfully: decay everything except biases, the text-embeddings LN scale,
+    and BERT-subtree LN scales (HF BertModel LNs are capital ``LayerNorm`` —
+    moot in practice since the BERT side is frozen).
+    """
 
     def keep(path, leaf):
-        name = getattr(path[-1], "key", getattr(path[-1], "name", str(path[-1])))
-        return name not in ("bias", "scale")
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if names[-1] == "bias":
+            return False
+        if names[-1] == "scale":
+            if len(names) > 1 and names[-2] == "text_layernorm":
+                return False
+            if "bert" in names:
+                return False
+        return True
 
     return jax.tree_util.tree_map_with_path(keep, params)
 

@@ -35,15 +35,23 @@ def test_schedule_matches_hf_polynomial_decay():
 
 
 def test_weight_decay_mask():
+    """Reference no_decay = ['bias', 'LayerNorm.weight'] substring grouping
+    (vilt.py:209-213): only the text-embeddings LN weight escapes decay —
+    encoder/head LN weights (lowercase/positional torch names) are decayed."""
     params = {
         "dense": {"kernel": np.zeros((2, 2)), "bias": np.zeros((2,))},
         "ln": {"scale": np.zeros((2,)), "bias": np.zeros((2,))},
+        "text_layernorm": {"scale": np.zeros((2,)), "bias": np.zeros((2,))},
         "word_embeddings": np.zeros((4, 2)),
+        "bert": {"emb_ln": {"scale": np.zeros((2,))}},
     }
     m = weight_decay_mask(params)
     assert m["dense"]["kernel"] is True
     assert m["dense"]["bias"] is False
-    assert m["ln"]["scale"] is False
+    assert m["ln"]["scale"] is True  # decayed! ('layernorm_before.weight' etc.
+    #                                  miss the 'LayerNorm.weight' substring)
+    assert m["text_layernorm"]["scale"] is False  # the one HF-capital LN
+    assert m["bert"]["emb_ln"]["scale"] is False  # HF BERT LNs are capital
     assert m["word_embeddings"] is True  # embeddings decay (reference grouping)
 
 
