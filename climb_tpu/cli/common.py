@@ -44,10 +44,14 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         choices=["float32", "bfloat16"],
                         help="Compute dtype for the encoder.")
     parser.add_argument("--attn_impl", type=str, default="xla",
-                        choices=["xla", "xla_ckpt", "pallas", "auto"],
+                        choices=["xla", "xla_ckpt", "pallas", "fused_block",
+                                 "auto"],
                         help="Attention kernel implementation ('auto' picks "
                              "XLA below S=1024 and the Pallas long-sequence "
-                             "kernels above, per measured crossover).")
+                             "kernels above, per measured crossover; "
+                             "'fused_block' is the whole-sublayer Pallas "
+                             "kernel — measured 10% slower than XLA at ViLT "
+                             "shapes, see docs/PERF.md).")
     parser.add_argument("--mlp_impl", type=str, default="xla",
                         choices=["xla", "pallas"],
                         help="MLP kernel implementation (pallas = fused "

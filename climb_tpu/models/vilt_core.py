@@ -27,6 +27,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from climb_tpu.models.adapters import apply_task_adapters
 from climb_tpu.models.model_config import AdapterSpec, ViltConfig
@@ -94,6 +95,19 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LayerNormParams(nn.Module):
+    """Raw scale/bias parameters with nn.LayerNorm's pytree layout — lets the
+    fused Pallas attention sublayer consume the same checkpoint structure."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
 class ViltBlock(nn.Module):
     """One pre-norm transformer block (HF ViltLayer semantics).
 
@@ -108,6 +122,24 @@ class ViltBlock(nn.Module):
     active_adapter: Optional[str] = None
     deterministic: bool = True
 
+    @staticmethod
+    def fused_self_remat(cfg, adapter_spec) -> bool:
+        """True when the fused_block path manages rematerialization itself:
+        the attention sublayer's custom VJP already saves exactly (h, q, k, v)
+        and recomputes only the O(S^2) probabilities, so block-level remat
+        would just re-run the Pallas kernel in backward to regenerate those
+        residuals (+~14% step time, measured). In this mode ViltCore skips
+        nn.remat on the block and the MLP sublayer is checkpointed internally
+        with save_only_these_names('mlp_fc1') — backward recomputes only
+        LN2 + GELU (elementwise; fc1's output is saved, fc2's is DCE'd)."""
+        return (
+            cfg.attn_impl == "fused_block"
+            and cfg.hidden_dropout == 0.0
+            and (adapter_spec is None or not adapter_spec.mh_adapter)
+            and cfg.remat
+            and cfg.remat_policy == "selective"
+        )
+
     @nn.compact
     def __call__(self, x, mask_bias):
         cfg = self.cfg
@@ -116,6 +148,39 @@ class ViltBlock(nn.Module):
         dense = lambda feats, name: nn.Dense(feats, dtype=dtype, name=name)
 
         # --- attention sublayer ---
+        fused_block_ok = (
+            cfg.attn_impl == "fused_block"
+            and cfg.hidden_dropout == 0.0
+            and (self.adapter_spec is None or not self.adapter_spec.mh_adapter)
+        )
+        if fused_block_ok:
+            # whole sublayer (LN1 -> QKV -> MHA -> out-proj -> +x) as ONE
+            # Pallas kernel; params keep the standard pytree layout
+            from climb_tpu.ops.pallas_block import fused_attention_sublayer
+
+            d = x.shape[-1]
+            lns, lnb = _LayerNormParams(d, name="ln1")()
+            kq, bq = _DenseParams(d, d, name="q")()
+            kk, bk = _DenseParams(d, d, name="k")()
+            kv, bv = _DenseParams(d, d, name="v")()
+            ko, bo = _DenseParams(d, d, name="attn_out")()
+            x = fused_attention_sublayer(
+                x.astype(dtype), lns, lnb,
+                kq.astype(dtype), bq, kk.astype(dtype), bk,
+                kv.astype(dtype), bv, ko.astype(dtype), bo,
+                mask_bias, num_heads=cfg.num_heads, eps=cfg.layer_norm_eps,
+            )
+            if ViltBlock.fused_self_remat(cfg, self.adapter_spec):
+                mlp = nn.remat(
+                    ViltBlock._mlp_sublayer_det,
+                    prevent_cse=False,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "mlp_fc1"
+                    ),
+                )
+                return mlp(self, x), None
+            return self._mlp_sublayer(x, deterministic), None
+
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="ln1")(x)
         b, s, d = h.shape
         if cfg.fuse_qkv:
@@ -145,9 +210,24 @@ class ViltBlock(nn.Module):
                 hidden_size=d, dtype=dtype,
             )
         x = x + attn_out
+        return self._mlp_sublayer(x, deterministic), None
 
-        # --- MLP sublayer ---
+    def _mlp_sublayer_det(self, x):
+        """Deterministic MLP sublayer for the self-remat path (safe: the
+        fused path is gated on hidden_dropout == 0.0, where flax Dropout is
+        an identity regardless of `deterministic`)."""
+        return self._mlp_sublayer(x, True)
+
+    def _mlp_sublayer(self, x, deterministic):
+        """LN2 -> MLP(GELU) -> dropout [-> adapter] -> +x. Shares the compact
+        context of __call__, so parameter names/layout are identical across
+        the fused and standard attention paths."""
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        d = x.shape[-1]
+        dense = lambda feats, name: nn.Dense(feats, dtype=dtype, name=name)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="ln2")(x)
+        h = checkpoint_name(h, "mlp_ln2")
         mlp_in = h
         if cfg.mlp_impl == "pallas":
             from climb_tpu.ops.pallas_mlp import fused_mlp
@@ -160,7 +240,11 @@ class ViltBlock(nn.Module):
             )
         else:
             h = dense(cfg.intermediate_size, "fc1")(h)
+            # named so the fused_self_remat MLP checkpoint saves these
+            # activations; backward then recomputes nothing in the MLP
+            h = checkpoint_name(h, "mlp_fc1")
             h = nn.gelu(h, approximate=False)  # HF 'gelu' is exact erf GELU
+            h = checkpoint_name(h, "mlp_gelu")
             h = dense(d, "fc2")(h)
         h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
         if self.adapter_spec is not None and self.adapter_spec.output_adapter:
@@ -171,8 +255,7 @@ class ViltBlock(nn.Module):
                 hidden_size=d, dtype=dtype,
             )
             h = h + (delta_base - adapter_input) if self.adapter_spec.is_parallel else delta_base
-        x = x + h
-        return x, None
+        return x + h
 
 
 class ViltCore(nn.Module):
@@ -270,7 +353,7 @@ class ViltCore(nn.Module):
         mask_bias = mask_to_bias(joint_mask, dtype=jnp.float32)
 
         block_cls = ViltBlock
-        if cfg.remat:
+        if cfg.remat and not ViltBlock.fused_self_remat(cfg, self.adapter_spec):
             if cfg.remat_policy == "dots":
                 # Save only batch-dim-free GEMM outputs (the dense matmuls);
                 # the O(S^2) attention einsums, softmax, LN, and GELU are

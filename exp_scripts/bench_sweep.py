@@ -47,6 +47,9 @@ CONFIGS = [
     ("best_fused_qkv", 64, True, "selective", 4, {"fuse_qkv": True}),        # 23
     ("best_rerun", 64, True, "selective", 4),                                # 24 (control)
     ("best_accum_unroll", 64, True, "selective", 4, {"accum_unroll": 4}),    # 25
+    ("best_fused_block", 64, True, "selective", 4, {"attn_impl": "fused_block"}),  # 26
+    ("fused_block_noaccum", 64, True, "selective", 1, {"attn_impl": "fused_block"}),  # 27
+    ("fused_block_full_remat", 64, True, "full", 4, {"attn_impl": "fused_block"}),  # 28
 ]
 
 
