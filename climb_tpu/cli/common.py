@@ -56,6 +56,14 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         choices=["xla", "pallas"],
                         help="MLP kernel implementation (pallas = fused "
                              "Dense->GELU->Dense).")
+    parser.add_argument("--dense_impl", type=str, default="xla",
+                        choices=["xla", "int8"],
+                        help="Dense-layer implementation for DETERMINISTIC "
+                             "forwards only (eval/predict): 'int8' runs the "
+                             "encoder GEMMs on the int8 MXU path (2x peak "
+                             "bf16 on v5e) with per-channel weight + dynamic "
+                             "per-row activation scales. Training steps "
+                             "always use 'xla'.")
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize encoder blocks (trade FLOPs for HBM).")
     parser.add_argument("--remat_policy", type=str, default="full",

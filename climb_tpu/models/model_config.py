@@ -53,6 +53,11 @@ class ViltConfig:
     fuse_qkv: bool = False            # one (D, 3D) GEMM for Q/K/V (params
     #                                   keep the q/k/v checkpoint layout;
     #                                   kernels are concatenated at apply)
+    dense_impl: str = "xla"           # "xla" | "int8": int8 MXU matmuls for
+    #                                   the serving/eval forward (per-channel
+    #                                   weight + dynamic per-row activation
+    #                                   scales; honored only when
+    #                                   deterministic — training always xla)
 
     @property
     def head_dim(self) -> int:

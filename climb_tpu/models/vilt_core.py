@@ -122,6 +122,22 @@ class ViltBlock(nn.Module):
     active_adapter: Optional[str] = None
     deterministic: bool = True
 
+    def _dense(self, feats, name, deterministic):
+        """nn.Dense, or the int8-MXU dense for the serving forward
+        (``cfg.dense_impl == 'int8'``; deterministic only — int8 round() has
+        no gradient). Param pytree layout is identical either way."""
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        if cfg.dense_impl == "int8" and deterministic:
+            from climb_tpu.ops.quant import int8_dense
+
+            def f(h):
+                k, b = _DenseParams(h.shape[-1], feats, name=name)()
+                return int8_dense(h, k, b, out_dtype=dtype)
+
+            return f
+        return nn.Dense(feats, dtype=dtype, name=name)
+
     @staticmethod
     def fused_self_remat(cfg, adapter_spec) -> bool:
         """True when the fused_block path manages rematerialization itself:
@@ -145,7 +161,7 @@ class ViltBlock(nn.Module):
         cfg = self.cfg
         deterministic = self.deterministic
         dtype = cfg.compute_dtype
-        dense = lambda feats, name: nn.Dense(feats, dtype=dtype, name=name)
+        dense = lambda feats, name: self._dense(feats, name, deterministic)
 
         # --- attention sublayer ---
         fused_block_ok = (
@@ -225,7 +241,7 @@ class ViltBlock(nn.Module):
         cfg = self.cfg
         dtype = cfg.compute_dtype
         d = x.shape[-1]
-        dense = lambda feats, name: nn.Dense(feats, dtype=dtype, name=name)
+        dense = lambda feats, name: self._dense(feats, name, deterministic)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="ln2")(x)
         h = checkpoint_name(h, "mlp_ln2")
         mlp_in = h
@@ -317,7 +333,15 @@ class ViltCore(nn.Module):
 
         # ---- visual embeddings (HF visual_embed semantics, fixed grid) ----
         patches = patchify(pixel_values.astype(dtype), cfg.patch_size)
-        proj = nn.Dense(d, dtype=dtype, name="patch_projection")(patches)
+        if cfg.dense_impl == "int8" and deterministic:
+            from climb_tpu.ops.quant import int8_dense
+
+            pk, pb = _DenseParams(
+                patches.shape[-1], d, name="patch_projection"
+            )()
+            proj = int8_dense(patches, pk, pb, out_dtype=dtype)
+        else:
+            proj = nn.Dense(d, dtype=dtype, name="patch_projection")(patches)
         vis_pos = self.param(
             "visual_position_embeddings",
             nn.initializers.zeros,

@@ -1,0 +1,71 @@
+"""Int8 quantized dense layers for the serving/eval forward path.
+
+TPU v5e's MXU runs int8xint8->int32 matmuls at 2x the bf16 rate (394 TOPS
+vs 197 TFLOPS peak), and the forward-only serving path (`cli/predict.py`,
+eval loops) has no gradient to protect — so weight+activation int8 with
+per-channel weight scales and dynamic per-row activation scales is the
+idiomatic TPU serving speedup. The reference has no quantized path at all
+(serving = the same fp32 torch forward, reference src/modeling/vilt.py
+forward); this is a beyond-reference capability.
+
+Scheme (symmetric, zero-point-free — MXU int8 has no zero-point support,
+and LayerNorm'd activations are near-zero-mean so symmetric loses little):
+
+  w_q[d, e]  = round(w[d, e] / s_w[e]),   s_w[e] = max_d |w[d, e]| / 127
+  a_q[t, d]  = round(a[t, d] / s_a[t]),   s_a[t] = max_d |a[t, d]| / 127
+  y[t, e]    = (a_q @ w_q)[t, e] * s_a[t] * s_w[e] + bias[e]
+
+The int32 accumulator is exact; all error comes from the two roundings.
+Weight quantization happens inside the jitted forward (XLA hoists it out
+of any scan over layers; at (768, 768) it is ~0.6 M cheap VPU ops vs a
+33 GFLOP GEMM — negligible), so checkpoints keep their normal f32/bf16
+pytrees and every existing loader/converter works unchanged.
+
+Gradients are NOT defined (round() has no useful derivative); the int8
+path is gated to deterministic forwards by the model config plumbing
+(`ViltConfig.dense_impl` is only honored when `deterministic=True`).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_per_channel(w: jax.Array):
+    """(D, E) float weights -> (int8 weights, (E,) f32 scales), symmetric
+    per-output-channel."""
+    wf = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=0) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    wq = jnp.clip(jnp.round(wf / s[None, :]), -127, 127).astype(jnp.int8)
+    return wq, s
+
+
+def quantize_per_row(a: jax.Array):
+    """(..., D) float activations -> (int8, (...,) f32 scales), symmetric
+    dynamic per-row (per token)."""
+    af = a.astype(jnp.float32)
+    s = jnp.max(jnp.abs(af), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    aq = jnp.clip(jnp.round(af / s[..., None]), -127, 127).astype(jnp.int8)
+    return aq, s
+
+
+def int8_dense(a: jax.Array, w: jax.Array, bias, out_dtype=None):
+    """y = a @ w + bias with an int8 MXU matmul.
+
+    a: (..., D) float; w: (D, E) float (quantized here, hoisted by XLA);
+    bias: (E,) float or None. Returns (..., E) in `out_dtype` (default:
+    a.dtype).
+    """
+    out_dtype = out_dtype or a.dtype
+    wq, sw = quantize_per_channel(w)
+    aq, sa = quantize_per_row(a)
+    acc = jax.lax.dot_general(
+        aq, wq,
+        (((aq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sa[..., None] * sw
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)

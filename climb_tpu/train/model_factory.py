@@ -39,6 +39,7 @@ def vilt_config_from_args(args, needs_three_modalities: bool) -> ViltConfig:
         remat_policy=getattr(args, "remat_policy", "full"),
         scan_unroll=getattr(args, "scan_unroll", 1),
         fuse_qkv=getattr(args, "fuse_qkv", False),
+        dense_impl=getattr(args, "dense_impl", "xla"),
     )
     if getattr(args, "tiny", False):
         kw.update(

@@ -88,3 +88,47 @@ def test_kernel_matches_ref_compose(rng):
         wv, row(bv), wo, row(bo), bias[:, 0, 0, :],
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_block_adapter_fallback(rng):
+    """With mh-adapters active the fused kernel can't apply (adapter sits
+    between out-proj and residual), so attn_impl='fused_block' must fall
+    back to the standard attention path — outputs identical to 'xla'."""
+    from climb_tpu.models.model_config import AdapterSpec
+
+    cfg = ViltConfig(
+        vocab_size=100, hidden_size=D, num_layers=2, num_heads=HEADS,
+        intermediate_size=D * 2, image_height=64, image_width=96,
+        patch_size=32, pretrain_image_size=64,
+    )
+    spec = AdapterSpec(mh_adapter=True, output_adapter=True, reduction_factor=4)
+    x = jnp.asarray(rng.randn(B, S, D).astype(np.float32))
+    bias = mask_to_bias(jnp.ones((B, S), jnp.float32))
+    mk = lambda impl: ViltBlock(
+        cfg.replace(attn_impl=impl), adapter_spec=spec,
+        adapter_tasks=("snli-ve",), active_adapter="snli-ve",
+    )
+    params = mk("xla").init(jax.random.PRNGKey(0), x, bias)["params"]
+    out_xla, _ = mk("xla").apply({"params": params}, x, bias)
+    out_fused, _ = mk("fused_block").apply({"params": params}, x, bias)
+    np.testing.assert_array_equal(np.asarray(out_fused), np.asarray(out_xla))
+
+
+def test_fused_self_remat_gating():
+    """fused_self_remat is only on for the exact supported configuration."""
+    from climb_tpu.models.model_config import AdapterSpec
+
+    base = ViltConfig(
+        vocab_size=100, hidden_size=D, num_layers=2, num_heads=HEADS,
+        intermediate_size=D * 2, image_height=64, image_width=96,
+        patch_size=32, pretrain_image_size=64,
+        attn_impl="fused_block", remat=True, remat_policy="selective",
+    )
+    assert ViltBlock.fused_self_remat(base, None)
+    assert not ViltBlock.fused_self_remat(base.replace(attn_impl="xla"), None)
+    assert not ViltBlock.fused_self_remat(base.replace(remat=False), None)
+    assert not ViltBlock.fused_self_remat(base.replace(remat_policy="full"), None)
+    assert not ViltBlock.fused_self_remat(base.replace(hidden_dropout=0.1), None)
+    assert not ViltBlock.fused_self_remat(base, AdapterSpec(mh_adapter=True))
+    # mlp-only adapters keep the fused attention path (and its self-remat)
+    assert ViltBlock.fused_self_remat(base, AdapterSpec(mh_adapter=False))
