@@ -30,6 +30,8 @@ class BertConfig:
     initializer_range: float = 0.02
     dtype: str = "float32"
     attn_impl: str = "xla"
+    dense_impl: str = "xla"           # "xla" | "int8" (deterministic only;
+    #                                   see climb_tpu.ops.quant)
 
     @property
     def head_dim(self):
@@ -49,7 +51,18 @@ class BertLayer(nn.Module):
         cfg = self.cfg
         dtype = cfg.compute_dtype
         b, s, d = x.shape
-        dense = lambda feats, name: nn.Dense(feats, dtype=dtype, name=name)
+        if cfg.dense_impl == "int8" and self.deterministic:
+            from climb_tpu.models.vilt_core import _DenseParams
+            from climb_tpu.ops.quant import int8_dense
+
+            def dense(feats, name):
+                def f(h):
+                    kk, bb = _DenseParams(h.shape[-1], feats, name=name)()
+                    return int8_dense(h, kk, bb, out_dtype=dtype)
+
+                return f
+        else:
+            dense = lambda feats, name: nn.Dense(feats, dtype=dtype, name=name)
 
         q = dense(d, "q")(x).reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = dense(d, "k")(x).reshape(b, s, cfg.num_heads, cfg.head_dim)

@@ -44,6 +44,7 @@ class ViltBertCore(nn.Module):
             intermediate_size=self.cfg.intermediate_size,
             dtype=self.cfg.dtype,
             attn_impl="xla",
+            dense_impl=self.cfg.dense_impl,
         )
         self.bert = BertCore(bert_cfg)
         self.vilt = ViltCore(

@@ -137,3 +137,32 @@ def test_int8_full_model_argmax_agreement(tiny_cfg, rng):
     # and the logits themselves stay correlated
     cc = np.corrcoef(np.asarray(logits).ravel(), np.asarray(logits_q).ravel())[0, 1]
     assert cc > 0.98
+
+
+def test_int8_bert_core(rng):
+    """The frozen BERT text side honors dense_impl='int8' too (ViLT-BERT
+    serving); layout identical, outputs correlated, training path exact."""
+    import dataclasses
+
+    from climb_tpu.models.bert import BertConfig, BertCore
+
+    cfg = BertConfig(vocab_size=120, hidden_size=64, num_layers=2, num_heads=4,
+                     intermediate_size=128)
+    cfg_q = dataclasses.replace(cfg, dense_impl="int8")
+    ids = jnp.asarray(rng.randint(1, 120, (2, 10)), jnp.int32)
+    mask = jnp.ones((2, 10), jnp.float32)
+    p = BertCore(cfg).init(jax.random.PRNGKey(0), ids, mask)["params"]
+    p_q = BertCore(cfg_q).init(jax.random.PRNGKey(0), ids, mask)["params"]
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p_q)
+
+    out = np.asarray(BertCore(cfg).apply({"params": p}, ids, mask))
+    out_q = np.asarray(BertCore(cfg_q).apply({"params": p}, ids, mask))
+    assert np.corrcoef(out.ravel(), out_q.ravel())[0, 1] > 0.98
+
+    out_tr = BertCore(cfg).apply(
+        {"params": p}, ids, mask, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    out_tr_q = BertCore(cfg_q).apply(
+        {"params": p}, ids, mask, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_array_equal(np.asarray(out_tr), np.asarray(out_tr_q))
