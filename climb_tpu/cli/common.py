@@ -57,12 +57,16 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         help="MLP kernel implementation (pallas = fused "
                              "Dense->GELU->Dense).")
     parser.add_argument("--dense_impl", type=str, default="xla",
-                        choices=["xla", "int8"],
+                        choices=["xla", "int8", "int8_static"],
                         help="Dense-layer implementation for DETERMINISTIC "
                              "forwards only (eval/predict): 'int8' runs the "
                              "encoder GEMMs on the int8 MXU path (2x peak "
                              "bf16 on v5e) with per-channel weight + dynamic "
-                             "per-row activation scales. Training steps "
+                             "per-row activation scales; 'int8_static' uses "
+                             "PTQ-calibrated per-tensor activation scales "
+                             "(fully fusable — the fast serving mode; "
+                             "predict calibrates automatically, see "
+                             "--quant_calibration_batches). Training steps "
                              "always use 'xla'.")
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize encoder blocks (trade FLOPs for HBM).")

@@ -61,6 +61,11 @@ def build_parser():
     parser.add_argument("--max_predictions", type=int, default=0,
                         help="Cap the prediction list in the output JSON "
                              "(0 = write all).")
+    parser.add_argument("--quant_calibration_batches", type=int, default=8,
+                        help="PTQ calibration batches for --dense_impl "
+                             "int8_static (forwarded in bf16 recording "
+                             "per-tensor activation ranges before serving "
+                             "int8).")
     add_common_args(parser)
     add_tpu_args(parser)
     # inference default: bf16 compute (MXU-native; ~2x f32 throughput).
@@ -100,14 +105,40 @@ def main(argv=None):
     if adapter_handler is not None:
         model = adapter_handler.activate_adapter_for_eval(args.task_key, model)
 
+    trainer = None
+    if not args.input_jsonl:
+        trainer_cls = get_task_trainer_class(task_configs[args.task_key]["trainer"])
+        trainer = trainer_cls(
+            args, task_configs,
+            model_config={"encoder_dim": model.cfg.hidden_size},
+        )
+
+    extra_vars = None
+    if getattr(args, "dense_impl", "xla") == "int8_static":
+        import itertools
+
+        from climb_tpu.train.train_step import calibrate_quant_scales
+
+        if args.input_jsonl:
+            gen = (b for _, b in _jsonl_batches(args, model))
+        else:
+            gen = (trainer._put(b, model.mesh) for b in trainer.eval_dataloader)
+        quant_col = calibrate_quant_scales(
+            model.module, args.task_key, model.params,
+            itertools.islice(gen, max(1, args.quant_calibration_batches)),
+            model.cfg.compute_dtype,
+        )
+        n_scales = len(jax.tree_util.tree_leaves(quant_col))
+        logger.info("PTQ calibration: %d batches -> %d activation-range tensors",
+                    args.quant_calibration_batches, n_scales)
+        extra_vars = {"quant": quant_col}
+
     eval_step = make_eval_step(
-        model.module, args.task_key, LOSS_TYPES[args.task_key], model.cfg.compute_dtype
+        model.module, args.task_key, LOSS_TYPES[args.task_key],
+        model.cfg.compute_dtype, extra_vars=extra_vars,
     )
     if args.input_jsonl:
         return _predict_from_jsonl(args, model, eval_step)
-
-    trainer_cls = get_task_trainer_class(task_configs[args.task_key]["trainer"])
-    trainer = trainer_cls(args, task_configs, model_config={"encoder_dim": model.cfg.hidden_size})
 
     preds, total, count, n = [], 0.0, 0.0, 0
     t0 = None
@@ -145,9 +176,10 @@ def main(argv=None):
     return out
 
 
-def _predict_from_jsonl(args, model, eval_step):
-    """Serve raw JSONL inputs through the AOT input processor (tokenize +
-    canvas), fixed-shape batches, one jitted forward per batch."""
+def _jsonl_batches(args, model):
+    """Yield (chunk, device-ready batch) pairs for --input_jsonl rows through
+    the AOT input processor (tokenize + canvas), fixed-shape batches. Shared
+    by the prediction loop and PTQ calibration."""
     import jax.numpy as jnp
 
     from climb_tpu.data.loader import pad_batch
@@ -174,9 +206,6 @@ def _predict_from_jsonl(args, model, eval_step):
             return Image.open(p)
         return np.asarray(p)
 
-    preds, total, count = [], 0.0, 0.0
-    have_labels = True
-    t0 = None
     bs = args.batch_size
     for i in range(0, len(rows), bs):
         chunk = rows[i : i + bs]
@@ -192,7 +221,6 @@ def _predict_from_jsonl(args, model, eval_step):
         else:
             batch = proc([r["text"] for r in chunk], [load_img(r["image"]) for r in chunk])
         labels = [r.get("label") for r in chunk]
-        have_labels = have_labels and all(l is not None for l in labels)
         int_labels = np.asarray([l if l is not None else 0 for l in labels], np.int32)
         if loss_type == "vqa_bce":  # metric = soft score; one-hot from labels
             ts = np.zeros((len(chunk), spec.num_labels), np.float32)
@@ -201,7 +229,21 @@ def _predict_from_jsonl(args, model, eval_step):
         else:
             batch["labels"] = int_labels
         batch = pad_batch(batch, bs)
-        logits, s, c = eval_step(model.params, {k: jnp.asarray(v) for k, v in batch.items()})
+        yield chunk, {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def _predict_from_jsonl(args, model, eval_step):
+    """Serve raw JSONL inputs: one jitted forward per fixed-shape batch."""
+    import jax.numpy as jnp
+
+    preds, total, count = [], 0.0, 0.0
+    have_labels = True
+    t0 = None
+    n_rows = 0
+    for chunk, batch in _jsonl_batches(args, model):
+        have_labels = have_labels and all(r.get("label") is not None for r in chunk)
+        n_rows += len(chunk)
+        logits, s, c = eval_step(model.params, batch)
         if t0 is None:
             float(s)
             t0 = time.perf_counter()
@@ -214,15 +256,15 @@ def _predict_from_jsonl(args, model, eval_step):
         "task_key": args.task_key,
         "checkpoint": args.checkpoint,
         "metric": (100.0 * total / max(count, 1.0)) if have_labels else None,
-        "n_examples": len(rows),
-        "examples_per_sec": round(len(rows) / elapsed, 1),
+        "n_examples": n_rows,
+        "examples_per_sec": round(n_rows / elapsed, 1),
         "predictions": preds[: args.max_predictions] if args.max_predictions else preds,
     }
     os.makedirs(os.path.dirname(args.output_file) or ".", exist_ok=True)
     with open(args.output_file, "w") as f:
         json.dump(out, f)
     logger.info("task=%s: %d raw examples, metric=%s (%.1f ex/s) -> %s",
-                args.task_key, len(rows), out["metric"], out["examples_per_sec"],
+                args.task_key, n_rows, out["metric"], out["examples_per_sec"],
                 args.output_file)
     return out
 

@@ -51,14 +51,25 @@ class BertLayer(nn.Module):
         cfg = self.cfg
         dtype = cfg.compute_dtype
         b, s, d = x.shape
-        if cfg.dense_impl == "int8" and self.deterministic:
+        if cfg.dense_impl in ("int8", "int8_static") and self.deterministic:
             from climb_tpu.models.vilt_core import _DenseParams
-            from climb_tpu.ops.quant import int8_dense
+            from climb_tpu.ops.quant import int8_dense, int8_dense_static
 
             def dense(feats, name):
                 def f(h):
                     kk, bb = _DenseParams(h.shape[-1], feats, name=name)()
-                    return int8_dense(h, kk, bb, out_dtype=dtype)
+                    if cfg.dense_impl == "int8":
+                        return int8_dense(h, kk, bb, out_dtype=dtype)
+                    amax = self.variable(
+                        "quant", f"{name}_amax",
+                        lambda: jnp.zeros((), jnp.float32),
+                    )
+                    if self.is_mutable_collection("quant"):
+                        amax.value = jnp.maximum(
+                            amax.value, jnp.max(jnp.abs(h)).astype(jnp.float32)
+                        )
+                        return (h @ kk.astype(dtype) + bb.astype(dtype)).astype(dtype)
+                    return int8_dense_static(h, kk, bb, amax.value, out_dtype=dtype)
 
                 return f
         else:
@@ -108,7 +119,7 @@ class BertCore(nn.Module):
         mask_bias = mask_to_bias(attention_mask, dtype=jnp.float32)
         ScannedLayers = nn.scan(
             BertLayer,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "quant": 0},
             split_rngs={"params": True, "dropout": True},
             length=cfg.num_layers,
             in_axes=nn.broadcast,

@@ -124,16 +124,29 @@ class ViltBlock(nn.Module):
 
     def _dense(self, feats, name, deterministic):
         """nn.Dense, or the int8-MXU dense for the serving forward
-        (``cfg.dense_impl == 'int8'``; deterministic only — int8 round() has
-        no gradient). Param pytree layout is identical either way."""
+        (``cfg.dense_impl`` 'int8' = dynamic per-row scales, 'int8_static' =
+        calibrated per-tensor scales in the 'quant' variable collection;
+        deterministic only — int8 round() has no gradient). Param pytree
+        layout is identical in every mode."""
         cfg = self.cfg
         dtype = cfg.compute_dtype
-        if cfg.dense_impl == "int8" and deterministic:
-            from climb_tpu.ops.quant import int8_dense
+        if cfg.dense_impl in ("int8", "int8_static") and deterministic:
+            from climb_tpu.ops.quant import int8_dense, int8_dense_static
 
             def f(h):
                 k, b = _DenseParams(h.shape[-1], feats, name=name)()
-                return int8_dense(h, k, b, out_dtype=dtype)
+                if cfg.dense_impl == "int8":
+                    return int8_dense(h, k, b, out_dtype=dtype)
+                amax = self.variable(
+                    "quant", f"{name}_amax", lambda: jnp.zeros((), jnp.float32)
+                )
+                if self.is_mutable_collection("quant"):
+                    # PTQ calibration pass: record ranges, compute in bf16
+                    amax.value = jnp.maximum(
+                        amax.value, jnp.max(jnp.abs(h)).astype(jnp.float32)
+                    )
+                    return (h @ k.astype(dtype) + b.astype(dtype)).astype(dtype)
+                return int8_dense_static(h, k, b, amax.value, out_dtype=dtype)
 
             return f
         return nn.Dense(feats, dtype=dtype, name=name)
@@ -199,7 +212,22 @@ class ViltBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="ln1")(x)
         b, s, d = h.shape
-        if cfg.fuse_qkv:
+        if cfg.dense_impl == "int8" and deterministic and not cfg.fuse_qkv:
+            # quantize LN1's output ONCE and reuse it for the q/k/v GEMMs —
+            # the dynamic-quant passes over the activation, not the int8
+            # matmuls, dominate the int8 path's overhead
+            from climb_tpu.ops.quant import int8_dense_prequant, quantize_per_row
+
+            hq, hs = quantize_per_row(h)
+            qkv = []
+            for name in ("q", "k", "v"):
+                kk, bb = _DenseParams(d, d, name=name)()
+                qkv.append(
+                    int8_dense_prequant(hq, hs, kk, bb, dtype)
+                    .reshape(b, s, cfg.num_heads, cfg.head_dim)
+                )
+            q, k, v = qkv
+        elif cfg.fuse_qkv:
             # One (D, 3D) GEMM instead of three (D, D) GEMMs. Parameters keep
             # the q/k/v pytree layout (checkpoint/freeze/TP-spec compatible);
             # the concatenated kernel is materialized by XLA outside the step's
@@ -333,13 +361,29 @@ class ViltCore(nn.Module):
 
         # ---- visual embeddings (HF visual_embed semantics, fixed grid) ----
         patches = patchify(pixel_values.astype(dtype), cfg.patch_size)
-        if cfg.dense_impl == "int8" and deterministic:
-            from climb_tpu.ops.quant import int8_dense
+        if cfg.dense_impl in ("int8", "int8_static") and deterministic:
+            from climb_tpu.ops.quant import int8_dense, int8_dense_static
 
             pk, pb = _DenseParams(
                 patches.shape[-1], d, name="patch_projection"
             )()
-            proj = int8_dense(patches, pk, pb, out_dtype=dtype)
+            if cfg.dense_impl == "int8":
+                proj = int8_dense(patches, pk, pb, out_dtype=dtype)
+            else:
+                amax = self.variable(
+                    "quant", "patch_projection_amax",
+                    lambda: jnp.zeros((), jnp.float32),
+                )
+                if self.is_mutable_collection("quant"):
+                    amax.value = jnp.maximum(
+                        amax.value,
+                        jnp.max(jnp.abs(patches)).astype(jnp.float32),
+                    )
+                    proj = (patches @ pk.astype(dtype) + pb.astype(dtype)).astype(dtype)
+                else:
+                    proj = int8_dense_static(
+                        patches, pk, pb, amax.value, out_dtype=dtype
+                    )
         else:
             proj = nn.Dense(d, dtype=dtype, name="patch_projection")(patches)
         vis_pos = self.param(
@@ -393,7 +437,7 @@ class ViltCore(nn.Module):
             block_cls = nn.remat(ViltBlock, prevent_cse=False, policy=policy)
         ScannedBlocks = nn.scan(
             block_cls,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "quant": 0},
             split_rngs={"params": True, "dropout": True},
             length=cfg.num_layers,
             in_axes=nn.broadcast,

@@ -129,11 +129,18 @@ def _encoder_subtree(params: dict) -> dict:
     return params
 
 
-def make_forward_fn(model, task_key: Optional[str]) -> Callable:
-    """Uniform forward closure over CL models (task dispatch) and classifiers."""
+def make_forward_fn(model, task_key: Optional[str], extra_vars=None) -> Callable:
+    """Uniform forward closure over CL models (task dispatch) and classifiers.
+
+    extra_vars: additional variable collections to thread through apply
+    (e.g. {"quant": <calibrated scales>} for the int8_static serving path).
+    """
+    ev = dict(extra_vars or {})
     if task_key is None:
-        return lambda params, batch, **kw: model.apply({"params": params}, batch, **kw)
-    return lambda params, batch, **kw: model.apply({"params": params}, task_key, batch, **kw)
+        return lambda params, batch, **kw: model.apply(
+            {"params": params, **ev}, batch, **kw)
+    return lambda params, batch, **kw: model.apply(
+        {"params": params, **ev}, task_key, batch, **kw)
 
 
 def make_train_step(model, task_key: Optional[str], loss_type: str, compute_dtype=jnp.float32,
@@ -271,8 +278,40 @@ def make_replay_step(model, task_key: Optional[str], loss_type: str, tx, compute
     return replay_step
 
 
-def make_eval_step(model, task_key: Optional[str], loss_type: str, compute_dtype=jnp.float32):
+def calibrate_quant_scales(model, task_key: Optional[str], params, batches,
+                           compute_dtype=jnp.float32):
+    """PTQ calibration for the int8_static serving path: forward `batches`
+    (an iterable of host batches) with the 'quant' variable collection
+    mutable so every quantized dense records its running activation abs-max
+    (computation itself runs in the normal compute dtype). Returns the
+    calibrated collection, to be served via
+    ``make_eval_step(..., extra_vars={"quant": scales})``."""
     forward = make_forward_fn(model, task_key)
+
+    @jax.jit
+    def first(params, batch):
+        batch = prepare_batch(batch, compute_dtype)
+        _, mut = forward(params, batch, deterministic=True, mutable=["quant"])
+        return mut["quant"]
+
+    @jax.jit
+    def accum(params, qcol, batch):
+        batch = prepare_batch(batch, compute_dtype)
+        _, mut = make_forward_fn(model, task_key, extra_vars={"quant": qcol})(
+            params, batch, deterministic=True, mutable=["quant"]
+        )
+        return mut["quant"]
+
+    it = iter(batches)
+    qcol = first(params, next(it))
+    for b in it:
+        qcol = accum(params, qcol, b)
+    return qcol
+
+
+def make_eval_step(model, task_key: Optional[str], loss_type: str, compute_dtype=jnp.float32,
+                   extra_vars=None):
+    forward = make_forward_fn(model, task_key, extra_vars=extra_vars)
 
     @jax.jit
     def eval_step(params, batch):

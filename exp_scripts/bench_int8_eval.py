@@ -34,7 +34,6 @@ def run(batch: int, dense_impl: str):
     )
     model = create_cl_model(args, task_configs)
     cfg = model.cfg
-    eval_step = make_eval_step(model.module, "snli-ve", "ce", cfg.compute_dtype)
 
     rng = np.random.RandomState(0)
     b = batch
@@ -50,15 +49,27 @@ def run(batch: int, dense_impl: str):
         "labels": jnp.asarray(rng.randint(0, 3, (b,)), jnp.int32),
     }
 
+    extra_vars = None
+    if dense_impl == "int8_static":
+        from climb_tpu.train.train_step import calibrate_quant_scales
+
+        qcol = calibrate_quant_scales(
+            model.module, "snli-ve", model.params, [batch_data, batch_data],
+            cfg.compute_dtype,
+        )
+        extra_vars = {"quant": qcol}
+    eval_step = make_eval_step(model.module, "snli-ve", "ce",
+                               cfg.compute_dtype, extra_vars=extra_vars)
+
     out = eval_step(model.params, batch_data)
-    float(out["loss"])  # hard sync
+    float(out[1])  # hard sync
     steps = max(1, 1280 // b)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(steps):
             out = eval_step(model.params, batch_data)
-        float(out["loss"])
+        float(out[1])
         best = min(best, time.perf_counter() - t0)
     exps = b * steps / best
     print(json.dumps({
@@ -68,7 +79,9 @@ def run(batch: int, dense_impl: str):
 
 
 if __name__ == "__main__":
-    batches = [int(a) for a in sys.argv[1:]] or [64]
+    # args: [impl ...] and/or [batch ...] in any order, e.g. `int8 64`
+    impls = [a for a in sys.argv[1:] if not a.isdigit()] or ["xla", "int8"]
+    batches = [int(a) for a in sys.argv[1:] if a.isdigit()] or [64]
     for b in batches:
-        for impl in ("xla", "int8"):
+        for impl in impls:
             run(b, impl)

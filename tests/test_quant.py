@@ -166,3 +166,60 @@ def test_int8_bert_core(rng):
         {"params": p}, ids, mask, deterministic=False,
         rngs={"dropout": jax.random.PRNGKey(1)})
     np.testing.assert_array_equal(np.asarray(out_tr), np.asarray(out_tr_q))
+
+
+def test_int8_static_dense_matches_dynamic_given_row_amax(rng):
+    from climb_tpu.ops.quant import int8_dense_static
+
+    a = jnp.asarray((rng.randn(4, 16) * 0.7).astype(np.float32))
+    w = jnp.asarray((rng.randn(16, 8) * 0.05).astype(np.float32))
+    b = jnp.asarray((rng.randn(8) * 0.1).astype(np.float32))
+    amax = jnp.max(jnp.abs(a))
+    got = np.asarray(int8_dense_static(a, w, b, amax))
+    want = np.asarray(a @ w + b)
+    assert np.abs(got - want).max() / np.abs(want).max() < 0.05
+
+
+def test_int8_static_calibrate_then_serve(tiny_cfg, rng):
+    """Full PTQ flow on the CL model: calibration batches populate the
+    'quant' collection (with the scan layer axis), and the static-int8
+    serving forward tracks the bf16 forward."""
+    from climb_tpu.models import HeadSpec, ViltContinualLearner
+    from climb_tpu.train.train_step import calibrate_quant_scales, make_eval_step
+
+    cfg_q = tiny_cfg.replace(dense_impl="int8_static")
+    specs = (HeadSpec("snli-ve", "classification", 3),)
+    model = ViltContinualLearner(tiny_cfg, specs)
+    model_q = ViltContinualLearner(cfg_q, specs)
+
+    def mk_batch(seed):
+        r = np.random.RandomState(seed)
+        B = 4
+        return {
+            "input_ids": jnp.asarray(r.randint(1, 100, (B, 8)), jnp.int32),
+            "text_mask": jnp.ones((B, 8), jnp.float32),
+            "pixel_values": jnp.asarray(r.rand(B, 64, 96, 3), jnp.float32),
+            "patch_hw": jnp.full((B, 2), 2, jnp.int32),
+            "labels": jnp.asarray(r.randint(0, 3, (B,)), jnp.int32),
+        }
+
+    variables = model.init(
+        jax.random.PRNGKey(0), mk_batch(0), method=ViltContinualLearner.init_all
+    )
+    params = variables["params"]
+
+    qcol = calibrate_quant_scales(
+        model_q, "snli-ve", params, [mk_batch(1), mk_batch(2)]
+    )
+    leaves = jax.tree_util.tree_leaves(qcol)
+    assert leaves and all(float(jnp.min(l)) > 0 for l in leaves)
+    # scan-stacked blocks: per-layer amax leaves carry the layer axis
+    assert any(l.shape[:1] == (tiny_cfg.num_layers,) for l in leaves)
+
+    step_bf = make_eval_step(model, "snli-ve", "ce")
+    step_q = make_eval_step(model_q, "snli-ve", "ce", extra_vars={"quant": qcol})
+    batch = mk_batch(3)
+    logits, _, _ = step_bf(params, batch)
+    logits_q, _, _ = step_q(params, batch)
+    cc = np.corrcoef(np.asarray(logits).ravel(), np.asarray(logits_q).ravel())[0, 1]
+    assert cc > 0.98
