@@ -29,6 +29,13 @@ class AdapterHandler:
         spec_dict = dict(ADAPTER_MAP[args.adapter_config])
         if getattr(args, "adapter_reduction_factor", 0) > 0:
             spec_dict["reduction_factor"] = args.adapter_reduction_factor
+        if spec_dict.get("lora"):
+            if getattr(args, "lora_rank", 0) > 0:
+                spec_dict["lora_rank"] = args.lora_rank
+            if getattr(args, "lora_alpha", 0) > 0:
+                spec_dict["lora_alpha"] = float(args.lora_alpha)
+            if getattr(args, "lora_targets", None):
+                spec_dict["lora_targets"] = tuple(args.lora_targets.split(","))
         self.adapter_spec = AdapterSpec.from_dict(spec_dict)
         logger.info("Adapter configuration: %s", self.adapter_spec)
 

@@ -50,6 +50,11 @@ def build_parser():
     parser.add_argument("--adapter_method", default="vanilla", choices=["vanilla"])
     parser.add_argument("--adapter_config", default="houlsby", type=str)
     parser.add_argument("--adapter_reduction_factor", type=int, default=0)
+    parser.add_argument("--lora_rank", type=int, default=0,
+                        help="LoRA rank override (adapter_config=lora; must "
+                             "match the trained checkpoint).")
+    parser.add_argument("--lora_alpha", type=float, default=0.0)
+    parser.add_argument("--lora_targets", type=str, default="")
     parser.add_argument("--climb_data_dir", type=str, default=".")
     parser.add_argument("--input_jsonl", type=str, default=None,
                         help="Serve raw inputs instead of a dataset split: "

@@ -48,6 +48,9 @@ def build_parser():
     parser.add_argument("--adapter_method", default="vanilla")
     parser.add_argument("--adapter_config", choices=list(ADAPTER_MAP.keys()))
     parser.add_argument("--adapter_reduction_factor", type=int, default=0)
+    parser.add_argument("--lora_rank", type=int, default=0)
+    parser.add_argument("--lora_alpha", type=float, default=0.0)
+    parser.add_argument("--lora_targets", type=str, default="")
     parser.add_argument("--ewc_fisher_sample_percentage", type=float, default=0.0)
     parser.add_argument("--ewc_loss_weight", type=float, default=0.0)
     parser.add_argument("--layers_to_freeze", type=int, default=0)

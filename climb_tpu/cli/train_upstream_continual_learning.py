@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Adapter architecture.")
     parser.add_argument("--adapter_reduction_factor", type=int, default=0,
                         help="Downsampling ratio for adapter layers.")
+    parser.add_argument("--lora_rank", type=int, default=0,
+                        help="LoRA rank override (adapter_config=lora).")
+    parser.add_argument("--lora_alpha", type=float, default=0.0,
+                        help="LoRA alpha override (scale = alpha / rank).")
+    parser.add_argument("--lora_targets", type=str, default="",
+                        help="Comma-separated projection targets for LoRA "
+                             "(subset of q,k,v,attn_out,fc1,fc2).")
     # ewc
     parser.add_argument("--ewc_fisher_sample_percentage", type=float, default=0.0,
                         help="Percentage of training samples for the Fisher matrix per task.")
@@ -105,7 +112,7 @@ def validate_algorithm_args(args):
     if args.cl_algorithm == "experience_replay":
         assert args.memory_percentage > 0.0
         assert args.replay_frequency > 0
-    if args.cl_algorithm == "adapter":
+    if args.cl_algorithm == "adapter" and args.adapter_config != "lora":
         assert args.adapter_reduction_factor > 0
     if args.cl_algorithm == "ewc":
         assert args.ewc_fisher_sample_percentage > 0

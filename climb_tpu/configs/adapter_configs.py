@@ -42,6 +42,18 @@ ADAPTER_MAP = {
         "is_parallel": True,
         "phm": False,
     },
+    # LoRA (beyond reference): per-task low-rank deltas on the attention
+    # q/v projection kernels instead of inserted bottleneck layers. Same
+    # per-task isolation/activation semantics as the bottleneck adapters;
+    # rank via --lora_rank (default 8), scale alpha/rank.
+    "lora": {
+        "mh_adapter": False,
+        "output_adapter": False,
+        "lora": True,
+        "lora_rank": 8,
+        "lora_alpha": 16.0,
+        "lora_targets": ("q", "v"),
+    },
     # Compacter: PHM-factorized Houlsby-style adapters.
     "compacter": {
         "mh_adapter": True,

@@ -126,5 +126,67 @@ def apply_task_adapters(
     return out
 
 
+class LoRADelta(nn.Module):
+    """Low-rank delta for one projection: x @ A @ B * (alpha / rank).
+
+    B initializes to zero, so an untrained LoRA is an exact identity on the
+    wrapped projection (the base forward is bit-unchanged until training).
+    """
+
+    features: int
+    rank: int
+    alpha: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param(
+            "lora_a",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (x.shape[-1], self.rank),
+            jnp.float32,
+        )
+        b = self.param("lora_b", nn.initializers.zeros, (self.rank, self.features), jnp.float32)
+        scale = self.alpha / self.rank
+        return ((x @ a.astype(self.dtype)) @ b.astype(self.dtype)) * scale
+
+
+def apply_task_lora(
+    parent: nn.Module,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    target: str,
+    spec: AdapterSpec,
+    adapter_tasks,
+    active_adapter,
+    dtype,
+) -> jnp.ndarray:
+    """Add the active task's LoRA delta for projection `target` to its output.
+
+    x is the projection's input, y its base output. Mirrors
+    ``apply_task_adapters``: every task's (A, B) pair is declared (init traces
+    all of them, checkpoints carry all tasks) but only the active task's delta
+    is added — inactive branches are dead code under XLA. Parameter names
+    follow the ``adapter_*_{task}`` convention so ``adapter_only_mask`` and
+    the adapter checkpoint/export paths treat LoRA identically.
+    """
+    if target not in spec.lora_targets:
+        return y
+    out = y
+    for task in adapter_tasks:
+        delta = LoRADelta(
+            y.shape[-1],
+            spec.lora_rank,
+            spec.lora_alpha,
+            dtype=dtype,
+            name=f"adapter_lora_{target}_{_sanitize(task)}",
+            parent=parent,
+        )(x)
+        if task == active_adapter:
+            out = y + delta
+    return out
+
+
 def _sanitize(task_key: str) -> str:
     return task_key.replace("-", "_")

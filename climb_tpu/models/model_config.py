@@ -94,7 +94,12 @@ class ViltConfig:
 
 @dataclasses.dataclass(frozen=True)
 class AdapterSpec:
-    """Static description of per-task bottleneck adapters (cf. ADAPTER_MAP)."""
+    """Static description of per-task bottleneck adapters (cf. ADAPTER_MAP).
+
+    With ``lora=True`` the spec instead describes per-task low-rank deltas
+    (LoRA) on the named projection kernels; the bottleneck placements
+    (``mh_adapter``/``output_adapter``) are unused in that mode.
+    """
 
     mh_adapter: bool = True
     output_adapter: bool = True
@@ -103,10 +108,17 @@ class AdapterSpec:
     is_parallel: bool = False
     phm: bool = False
     phm_dim: int = 4
+    lora: bool = False
+    lora_rank: int = 8
+    lora_alpha: float = 16.0
+    lora_targets: Tuple[str, ...] = ("q", "v")
 
     @staticmethod
     def from_dict(d: dict) -> "AdapterSpec":
-        return AdapterSpec(**{k: v for k, v in d.items() if k in {f.name for f in dataclasses.fields(AdapterSpec)}})
+        kw = {k: v for k, v in d.items() if k in {f.name for f in dataclasses.fields(AdapterSpec)}}
+        if "lora_targets" in kw:
+            kw["lora_targets"] = tuple(kw["lora_targets"])
+        return AdapterSpec(**kw)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
-from climb_tpu.models.adapters import apply_task_adapters
+from climb_tpu.models.adapters import apply_task_adapters, apply_task_lora
 from climb_tpu.models.model_config import AdapterSpec, ViltConfig
 from climb_tpu.ops.attention import mask_to_bias, multi_head_attention
 from climb_tpu.ops.patch_embed import patch_grid_mask, patchify
@@ -164,7 +164,7 @@ class ViltBlock(nn.Module):
         return (
             cfg.attn_impl == "fused_block"
             and cfg.hidden_dropout == 0.0
-            and (adapter_spec is None or not adapter_spec.mh_adapter)
+            and (adapter_spec is None or not (adapter_spec.mh_adapter or adapter_spec.lora))
             and cfg.remat
             and cfg.remat_policy == "selective"
         )
@@ -177,10 +177,22 @@ class ViltBlock(nn.Module):
         dense = lambda feats, name: self._dense(feats, name, deterministic)
 
         # --- attention sublayer ---
+        spec = self.adapter_spec
+        lora_on = spec is not None and spec.lora
+
+        def lora(target, inp, out):
+            if not lora_on:
+                return out
+            return apply_task_lora(
+                self, inp, out, target=target, spec=spec,
+                adapter_tasks=self.adapter_tasks, active_adapter=self.active_adapter,
+                dtype=dtype,
+            )
+
         fused_block_ok = (
             cfg.attn_impl == "fused_block"
             and cfg.hidden_dropout == 0.0
-            and (self.adapter_spec is None or not self.adapter_spec.mh_adapter)
+            and (spec is None or not (spec.mh_adapter or spec.lora))
         )
         if fused_block_ok:
             # whole sublayer (LN1 -> QKV -> MHA -> out-proj -> +x) as ONE
@@ -222,10 +234,8 @@ class ViltBlock(nn.Module):
             qkv = []
             for name in ("q", "k", "v"):
                 kk, bb = _DenseParams(d, d, name=name)()
-                qkv.append(
-                    int8_dense_prequant(hq, hs, kk, bb, dtype)
-                    .reshape(b, s, cfg.num_heads, cfg.head_dim)
-                )
+                y = int8_dense_prequant(hq, hs, kk, bb, dtype)
+                qkv.append(lora(name, h, y).reshape(b, s, cfg.num_heads, cfg.head_dim))
             q, k, v = qkv
         elif cfg.fuse_qkv:
             # One (D, 3D) GEMM instead of three (D, D) GEMMs. Parameters keep
@@ -238,14 +248,19 @@ class ViltBlock(nn.Module):
             wqkv = jnp.concatenate([kq, kk, kv], axis=1).astype(dtype)
             bqkv = jnp.concatenate([bq, bk, bv]).astype(dtype)
             qkv = (h @ wqkv + bqkv).reshape(b, s, 3, cfg.num_heads, cfg.head_dim)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            q, k, v = (
+                lora(n, h, qkv[:, :, i].reshape(b, s, d)).reshape(
+                    b, s, cfg.num_heads, cfg.head_dim
+                )
+                for i, n in enumerate(("q", "k", "v"))
+            )
         else:
-            q = dense(d, "q")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
-            k = dense(d, "k")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
-            v = dense(d, "v")(h).reshape(b, s, cfg.num_heads, cfg.head_dim)
+            q = lora("q", h, dense(d, "q")(h)).reshape(b, s, cfg.num_heads, cfg.head_dim)
+            k = lora("k", h, dense(d, "k")(h)).reshape(b, s, cfg.num_heads, cfg.head_dim)
+            v = lora("v", h, dense(d, "v")(h)).reshape(b, s, cfg.num_heads, cfg.head_dim)
         ctx = multi_head_attention(q, k, v, mask_bias, impl=cfg.attn_impl)
         ctx = ctx.reshape(b, s, d)
-        attn_out = dense(d, "attn_out")(ctx)
+        attn_out = lora("attn_out", ctx, dense(d, "attn_out")(ctx))
         attn_out = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(attn_out)
         if self.adapter_spec is not None and self.adapter_spec.mh_adapter:
             attn_out = apply_task_adapters(
@@ -270,10 +285,23 @@ class ViltBlock(nn.Module):
         dtype = cfg.compute_dtype
         d = x.shape[-1]
         dense = lambda feats, name: self._dense(feats, name, deterministic)
+        spec = self.adapter_spec
+        lora_on = spec is not None and spec.lora
+
+        def lora(target, inp, out):
+            if not lora_on:
+                return out
+            return apply_task_lora(
+                self, inp, out, target=target, spec=spec,
+                adapter_tasks=self.adapter_tasks, active_adapter=self.active_adapter,
+                dtype=dtype,
+            )
+
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="ln2")(x)
         h = checkpoint_name(h, "mlp_ln2")
         mlp_in = h
-        if cfg.mlp_impl == "pallas":
+        mlp_lora = lora_on and ({"fc1", "fc2"} & set(spec.lora_targets))
+        if cfg.mlp_impl == "pallas" and not mlp_lora:
             from climb_tpu.ops.pallas_mlp import fused_mlp
 
             k1, b1 = _DenseParams(d, cfg.intermediate_size, name="fc1")()
@@ -283,13 +311,13 @@ class ViltBlock(nn.Module):
                 k2.astype(dtype), b2.astype(dtype),
             )
         else:
-            h = dense(cfg.intermediate_size, "fc1")(h)
+            h = lora("fc1", h, dense(cfg.intermediate_size, "fc1")(h))
             # named so the fused_self_remat MLP checkpoint saves these
             # activations; backward then recomputes nothing in the MLP
             h = checkpoint_name(h, "mlp_fc1")
             h = nn.gelu(h, approximate=False)  # HF 'gelu' is exact erf GELU
             h = checkpoint_name(h, "mlp_gelu")
-            h = dense(d, "fc2")(h)
+            h = lora("fc2", h, dense(d, "fc2")(h))
         h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
         if self.adapter_spec is not None and self.adapter_spec.output_adapter:
             adapter_input = mlp_in if self.adapter_spec.is_parallel else h

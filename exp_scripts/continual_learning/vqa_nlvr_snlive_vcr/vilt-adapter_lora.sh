@@ -1,0 +1,19 @@
+#!/bin/bash
+# Upstream CL with per-task LoRA (rank 8 on q/v) — beyond-reference algorithm,
+# same per-task isolation semantics as the bottleneck adapters.
+DATA_DIR=${CLIMB_DATA_DIR:-/data/datasets/MCL/}
+OUT_DIR=${CLIMB_OUTPUT_DIR:-/data/experiments/MCL/}
+python -m climb_tpu.cli.train_upstream_continual_learning --encoder_name vilt \
+    --pretrained_model_name dandelin/vilt-b32-mlm \
+    --ordered_cl_tasks vqa,nlvr2,snli-ve,vcr \
+    --cl_algorithm adapter \
+    --adapter_method vanilla \
+    --adapter_config lora \
+    --lora_rank 8 --lora_alpha 16 \
+    --climb_data_dir $DATA_DIR \
+    --do_train --do_eval \
+    --output_dir $OUT_DIR \
+    --do_wandb_logging \
+    --compute_dtype bfloat16 --remat --remat_policy selective \
+    --grad_accum_steps 4 --scan_unroll 12 \
+    --batch_size 64 "$@"
