@@ -15,6 +15,15 @@ Batches shard their leading axis over 'data'. With params annotated this way
 and the train step under ``jax.jit``, GSPMD emits: all-gather/reduce-scatter
 around the TP matmuls over 'model', and gradient psum over 'data' — all on
 ICI.
+
+Fully-sharded data parallelism (ZeRO-3 style) is one more layer of the same
+annotations: ``fsdp=True`` additionally shards each large parameter leaf
+over the 'data' axis (on a dim the TP rules left unsharded). Optimizer
+moments inherit the parameter shardings (``zeros_like`` preserves sharding),
+so parameter + AdamW-moment memory drops ~linearly with the data-axis size;
+GSPMD all-gathers each layer's weights just-in-time around its matmuls and
+reduce-scatters gradients instead of all-reducing — the standard TPU
+FSDP recipe, expressed purely through shardings.
 """
 
 from typing import Tuple
@@ -29,31 +38,55 @@ _COL_SPLIT = {"q", "k", "v", "fc1"}  # kernel (…, in, out): shard out
 _ROW_SPLIT = {"attn_out", "fc2"}     # kernel (…, in, out): shard in
 
 
-def param_spec(path: Tuple[str, ...], leaf) -> P:
-    """PartitionSpec for one parameter leaf, by its tree path."""
+# Leaves smaller than this stay replicated under FSDP (biases, LayerNorms):
+# the all-gather latency would outweigh the few KB of savings.
+FSDP_MIN_SIZE = 65536
+
+
+def param_spec(path: Tuple[str, ...], leaf, fsdp_size: int = 0) -> P:
+    """PartitionSpec for one parameter leaf, by its tree path.
+
+    fsdp_size > 1 additionally shards the largest still-unsharded,
+    divisible dim of every large leaf over 'data' (ZeRO-3). The scan-stacked
+    layer axis (dim 0 of 3D+ kernels) is skipped so each scan iteration
+    gathers slices of ONE layer, not whole other layers.
+    """
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    dims = [None] * leaf.ndim
     if len(names) >= 2 and names[-1] == "kernel":
         owner = names[-2]
         # adapters: ('...', 'adapter_mlp_task', 'down'|'up', 'kernel')
         if owner in _COL_SPLIT or owner == "down":
-            return P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
-        if owner in _ROW_SPLIT or owner == "up":
-            return P(*([None] * (leaf.ndim - 2) + [MODEL_AXIS, None]))
+            dims[-1] = MODEL_AXIS
+        elif owner in _ROW_SPLIT or owner == "up":
+            dims[-2] = MODEL_AXIS
     if len(names) >= 2 and names[-1] == "bias" and names[-2] in _COL_SPLIT:
-        return P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
-    return P()  # replicated
+        dims[-1] = MODEL_AXIS
+    if fsdp_size > 1 and leaf.size >= FSDP_MIN_SIZE:
+        first = 1 if leaf.ndim >= 3 else 0  # skip the stacked layer axis
+        cands = [d for d in range(first, leaf.ndim)
+                 if dims[d] is None and leaf.shape[d] % fsdp_size == 0]
+        if cands:
+            dims[max(cands, key=lambda d: leaf.shape[d])] = DATA_AXIS
+    if all(d is None for d in dims):  # canonical replicated form
+        return P()
+    return P(*dims)
 
 
-def param_sharding_rules(params, mesh) -> dict:
+def param_sharding_rules(params, mesh, fsdp: bool = False) -> dict:
     """Pytree of NamedShardings matching `params`."""
+    fsdp_size = mesh.shape[DATA_AXIS] if fsdp else 0
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)), params
+        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf, fsdp_size)),
+        params,
     )
 
 
-def shard_params(params, mesh):
-    """Place a parameter pytree onto the mesh per the TP rules."""
-    return jax.device_put(params, param_sharding_rules(params, mesh))
+def shard_params(params, mesh, fsdp: bool = False):
+    """Place a parameter pytree onto the mesh per the TP (+ optional FSDP)
+    rules. Optimizer states created later with ``zeros_like`` inherit these
+    shardings, completing the ZeRO-3 memory layout."""
+    return jax.device_put(params, param_sharding_rules(params, mesh, fsdp))
 
 
 def batch_spec(leaf, mesh=None) -> P:

@@ -107,7 +107,7 @@ def create_cl_model(
     if mesh is None and getattr(args, "n_devices", 0):
         mesh = make_mesh(n_model=getattr(args, "n_model", 1))
     if mesh is not None:
-        params = shard_params(params, mesh)
+        params = shard_params(params, mesh, fsdp=getattr(args, "fsdp", False))
     return CLModel(
         module=module, cfg=cfg, head_specs=head_specs, params=params, mesh=mesh,
         trainable_mask=trainable_mask, encoder_key=encoder_key,

@@ -38,11 +38,11 @@ def test_trajectory_matches(rng):
             "labels": jnp.asarray(r.randint(0, 3, (8,)), jnp.int32),
         })
 
-    def run(mesh):
+    def run(mesh, fsdp=False, final_state=[None]):
         params = jax.tree_util.tree_map(jnp.array, model.params)
         bs = batches
         if mesh is not None:
-            params = shard_params(params, mesh)
+            params = shard_params(params, mesh, fsdp=fsdp)
             bs = [shard_batch(b, mesh) for b in batches]
         tx = make_optimizer(params, lr=1e-3, total_steps=10, warmup_ratio=0.0)
         state = TrainState.create(apply_fn=model.module.apply, params=params, tx=tx)
@@ -53,6 +53,7 @@ def test_trajectory_matches(rng):
             key, sub = jax.random.split(key)
             state, m = step(state, b, sub)
             losses.append(float(m["loss"]))
+        final_state[0] = state
         return losses
 
     single = run(None)
@@ -67,3 +68,24 @@ def test_trajectory_matches(rng):
 
     multislice = run(make_multislice_mesh(n_model=2, slice_count=2))
     np.testing.assert_allclose(multislice, single, rtol=2e-4)
+
+    # FSDP (ZeRO-3): same math, parameters AND AdamW moments sharded over
+    # 'data' — and the shardings must survive the jitted update step
+    from climb_tpu.parallel.mesh import DATA_AXIS
+
+    out = [None]
+    fsdp_losses = run(make_mesh(n_data=4, n_model=2), fsdp=True, final_state=out)
+    np.testing.assert_allclose(fsdp_losses, single, rtol=2e-4)
+    state = out[0]
+
+    def data_sharded_leaves(tree):
+        n = 0
+        for leaf in jax.tree_util.tree_leaves(tree):
+            spec = getattr(getattr(leaf, "sharding", None), "spec", ())
+            if any(DATA_AXIS in (ax if isinstance(ax, tuple) else (ax,))
+                   for ax in spec if ax is not None):
+                n += 1
+        return n
+
+    assert data_sharded_leaves(state.params) > 0
+    assert data_sharded_leaves(state.opt_state) > 0
