@@ -82,15 +82,16 @@ def build_state_and_step(args):
     return model, cfg, state, train_step
 
 
-def static_batch(cfg, rng):
+def static_batch(cfg, rng, width=None):
+    width = width or cfg.image_width
     return {
         "input_ids": jnp.asarray(rng.randint(1, cfg.vocab_size, (BATCH, cfg.max_text_len)), jnp.int32),
         "text_mask": jnp.ones((BATCH, cfg.max_text_len), jnp.float32),
         "pixel_values": jnp.asarray(
-            rng.randint(0, 255, (BATCH, cfg.image_height, cfg.image_width, 3)), jnp.uint8
+            rng.randint(0, 255, (BATCH, cfg.image_height, width, 3)), jnp.uint8
         ),
         "patch_hw": jnp.broadcast_to(
-            jnp.array([cfg.grid_h, cfg.grid_w], jnp.int32), (BATCH, 2)
+            jnp.array([cfg.grid_h, width // cfg.patch_size], jnp.int32), (BATCH, 2)
         ),
         "labels": jnp.asarray(rng.randint(0, 3, (BATCH,)), jnp.int32),
     }
@@ -115,6 +116,50 @@ def bench_static(state, train_step, batch):
         float(metrics["loss"])  # hard sync
         best_dt = min(best_dt, time.perf_counter() - t0)
     return BATCH * MEASURE_STEPS / best_dt, state
+
+
+def bench_aspect_mix(state, train_step, cfg, mix=((512, 7), (640, 2), (288, 1))):
+    """Blended throughput over an aspect-bucketed batch stream.
+
+    `mix` is (canvas_width, weight) — the default approximates the COCO
+    train distribution (most photos are 4:3 -> 512-wide after the ViLT
+    resize; a minority are wider than 4:3 -> 640; portraits -> <=384).
+    Interleaves the per-width jit specializations in one measured loop, so
+    any executable-switch overhead is included. Returns (blended ex/s,
+    {width: ex/s}).
+    """
+    rng = np.random.RandomState(1)
+    widths = [w for w, n in mix for _ in range(n)]
+    batches = {w: static_batch(cfg, rng, width=w) for w, _ in mix}
+    key = jax.random.PRNGKey(2)
+    for w in batches:  # compile each specialization
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batches[w], sub)
+    float(metrics["loss"])
+
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            for w in widths:
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(state, batches[w], sub)
+        float(metrics["loss"])
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    blended = BATCH * MEASURE_STEPS * len(widths) / best_dt
+
+    per_width = {}
+    for w, _ in mix:
+        bdt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(MEASURE_STEPS):
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(state, batches[w], sub)
+            float(metrics["loss"])
+            bdt = min(bdt, time.perf_counter() - t0)
+        per_width[w] = BATCH * MEASURE_STEPS / bdt
+    return blended, per_width
 
 
 def bench_loader_fed(state, train_step, cfg, n_steps: int = 6):
@@ -209,6 +254,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--with-loader", action="store_true")
     ap.add_argument("--ref-preproc", action="store_true")
+    ap.add_argument("--aspect-mix", action="store_true",
+                    help="also measure aspect-bucketed throughput on a "
+                         "COCO-like width mix (70%% 512 / 20%% 640 / 10%% 288)")
     flags = ap.parse_args()
 
     args = SimpleNamespace(
@@ -251,6 +299,22 @@ def main():
             }
         )
     )
+
+    if flags.aspect_mix:
+        blended, per_width = bench_aspect_mix(state, train_step, cfg)
+        print(
+            json.dumps(
+                {
+                    "metric": "snli-ve_train_examples_per_sec_aspect_bucketed",
+                    "value": round(blended, 2),
+                    "unit": "examples/sec/chip",
+                    "vs_baseline": round(blended / TARGET, 3),
+                    "speedup_vs_fixed_canvas": round(blended / examples_per_sec, 3),
+                    "mix": "70% 512w / 20% 640w / 10% 288w (COCO-like)",
+                    "per_width_ex_s": {str(w): round(v, 2) for w, v in per_width.items()},
+                }
+            )
+        )
 
     if flags.with_loader:
         loader_ex_s = bench_loader_fed(state, train_step, cfg)

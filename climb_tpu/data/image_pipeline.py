@@ -17,6 +17,7 @@ height <= 384 (proportionally fewer patches). A C++ fast path lives in
 ``climb_tpu.native``.
 """
 
+import os
 from typing import Tuple
 
 import numpy as np
@@ -52,6 +53,75 @@ def vilt_resize_dims(
     new_h = max(size_divisor, new_h // size_divisor * size_divisor)
     new_w = max(size_divisor, new_w // size_divisor * size_divisor)
     return new_h, new_w
+
+
+def image_header_dims(path: str):
+    """(h, w) of an image file from its header only — no pixel decode.
+
+    Used by aspect bucketing to predict each example's resized canvas width
+    ahead of loading. JPEGs go through the native header parser; everything
+    else (and truncated-header fallback) uses PIL's lazy open, which reads
+    metadata without decoding. Returns None when unreadable.
+    """
+    try:
+        if path.lower().endswith((".jpg", ".jpeg")):
+            from climb_tpu.native import jpeg_dims
+
+            with open(path, "rb") as f:
+                head = f.read(65536)
+            dims = jpeg_dims(head)
+            if dims is not None:
+                return dims
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return im.height, im.width
+    except Exception:
+        return None
+
+
+def predict_canvas_widths(paths_per_example, canvas_hw, cache_path=None,
+                          memo=None):
+    """Per-example needed canvas width (pixels) from image headers only —
+    the aspect-bucketing hint. Applies the same ViLT resize rule the loading
+    pipeline uses, so predictions match the loaded ``patch_hw`` exactly;
+    unreadable headers conservatively claim the full canvas. ``memo`` (a
+    path->dims dict) is updated in place; new entries are persisted to
+    ``cache_path`` when given."""
+    import pickle
+
+    if memo is None:
+        memo = {}
+    if cache_path and not memo and os.path.exists(cache_path):
+        try:
+            with open(cache_path, "rb") as f:
+                memo.update(pickle.load(f))
+        except Exception:
+            pass
+    ch, cw = canvas_hw
+    new = 0
+    widths = np.empty((len(paths_per_example),), np.int64)
+    for i, paths in enumerate(paths_per_example):
+        w = 0
+        for path in paths:
+            if path not in memo:
+                memo[path] = image_header_dims(path)
+                new += 1
+            dims = memo[path]
+            if dims is None:
+                w = max(w, cw)
+            else:
+                _, nw = vilt_resize_dims(dims[0], dims[1], max_h=ch, max_w=cw)
+                w = max(w, nw)
+        widths[i] = w
+    if new and cache_path:
+        try:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            with open(cache_path, "wb") as f:
+                pickle.dump(memo, f)
+        except OSError:
+            pass
+    return widths
 
 
 def process_image(

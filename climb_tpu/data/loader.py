@@ -72,10 +72,55 @@ def _try_create_fork_pool(state, num_workers, deadline=10.0):
     return result.get("pool")
 
 
-def _process_worker_make_batch(indices):
+def _process_worker_make_batch(task):
     dataset, collate_fn, batch_size = _FORK_STATE
+    indices, bucket_w = task
     examples = [dataset[int(i)] for i in indices]
+    examples = crop_examples_to_bucket(examples, bucket_w)
     return pad_batch(collate_fn(examples), batch_size)
+
+
+def crop_examples_to_bucket(examples, bucket_w, patch_size: int = 32):
+    """Crop each example's pixel canvas to `bucket_w` columns.
+
+    The canvas is top-left anchored, so dropping columns beyond every
+    example's valid patch width is lossless (those pixels are padding and
+    their patches are masked out of attention). Safety: if any example needs
+    more width than the bucket predicted (e.g. a corrupt image replaced by a
+    full-size black canvas), widen to the needed multiple of patch_size
+    instead of cutting valid pixels — the batch simply compiles at a less
+    common shape.
+    """
+    if bucket_w is None:
+        return examples
+    needed = 0
+    for ex in examples:
+        needed = max(needed, int(np.max(np.asarray(ex["patch_hw"])[..., 1])) * patch_size)
+    w = max(bucket_w, needed)
+    out = []
+    for ex in examples:
+        pv = np.asarray(ex["pixel_values"])
+        if pv.shape[-2] > w:
+            ex = dict(ex)
+            ex["pixel_values"] = np.ascontiguousarray(pv[..., :w, :])
+        out.append(ex)
+    return out
+
+
+def parse_bucket_widths(value, canvas_width: int = 640, patch_size: int = 32):
+    """Normalize an --aspect_buckets value: None, 'auto', 'w1,w2,...', or a
+    sequence of ints -> tuple of widths (or None). 'auto' = half /
+    three-quarter / full canvas width, patch-aligned."""
+    if value is None:
+        return None
+    if isinstance(value, str):
+        if value.strip() == "auto":
+            p = patch_size
+            return tuple(sorted({max(p, canvas_width // 2 // p * p),
+                                 max(p, 3 * canvas_width // 4 // p * p),
+                                 canvas_width}))
+        return tuple(int(w) for w in value.split(",") if w.strip()) or None
+    return tuple(int(w) for w in value) or None
 
 
 def pad_batch(batch: dict, target_bs: int) -> dict:
@@ -119,12 +164,23 @@ class DataLoader:
         host_id: Optional[int] = None,
         host_count: Optional[int] = None,
         worker_mode: str = "thread",
+        bucket_widths: Optional[Sequence[int]] = None,
     ):
         """host_id/host_count: per-host sharding for multi-host meshes — each
         host iterates a disjoint stripe of the (seed+epoch-shuffled) index
         stream, so a multi-host data-parallel job feeds distinct examples per
         host (the TPU-native replacement for distributed samplers,
-        SURVEY.md section 5.8). Defaults to the JAX process topology."""
+        SURVEY.md section 5.8). Defaults to the JAX process topology.
+
+        bucket_widths: aspect-bucketing canvas widths (pixels, ascending,
+        e.g. (384, 512, 640)). Each batch then holds only examples whose
+        valid image width fits one bucket, and its pixel canvas is cropped
+        to that width — 4:3 photos (the COCO/Flickr majority) run at 512
+        wide = 48 fewer padding patches per image than the 640 canvas, a
+        measured step-time win (docs/PERF.md). Requires the dataset to
+        expose ``canvas_widths()`` (per-example needed width in pixels);
+        without it bucketing is disabled with a warning. Batch order stays
+        deterministic in (seed, epoch), so resume/skip semantics hold."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -150,7 +206,34 @@ class DataLoader:
         self.host_id = host_id or 0
         self.host_count = max(1, host_count)
 
+        self.bucket_widths = None
+        self._bucket_ids = None
+        if bucket_widths:
+            widths = tuple(sorted(int(w) for w in bucket_widths))
+            get_widths = getattr(dataset, "canvas_widths", None)
+            need = None
+            if get_widths is not None:
+                try:
+                    need = np.asarray(get_widths())
+                except (AttributeError, NotImplementedError):
+                    need = None
+            if need is None:
+                logger.warning(
+                    "aspect bucketing requested but %s provides no "
+                    "canvas_widths(); running unbucketed", type(dataset).__name__,
+                )
+            else:
+                # smallest bucket that fits each example; wider-than-largest
+                # clamps to the largest bucket (crop is safety-checked at
+                # batch build time and widens rather than cutting pixels)
+                self.bucket_widths = widths
+                self._bucket_ids = np.searchsorted(
+                    np.asarray(widths), np.minimum(need, widths[-1])
+                ).astype(np.int64)
+
     def __len__(self):
+        if self.bucket_widths is not None:
+            return len(self._index_batches())
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
@@ -166,7 +249,8 @@ class DataLoader:
         already-consumed prefix reproduces the remaining batch stream."""
         self.skip = int(n_batches)
 
-    def _index_batches(self) -> Sequence[np.ndarray]:
+    def _index_batches(self) -> Sequence[tuple]:
+        """Deterministic (indices, bucket_width) batch list for this epoch."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
@@ -175,11 +259,35 @@ class DataLoader:
         if self.host_count > 1:
             idx = idx[self.host_id :: self.host_count]
             n = len(idx)
-        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        return [idx[i : i + self.batch_size] for i in range(0, stop, self.batch_size) if i < stop]
+        if self.bucket_widths is None:
+            stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+            return [
+                (idx[i : i + self.batch_size], None)
+                for i in range(0, stop, self.batch_size)
+                if i < stop
+            ]
+        # Walk the shuffled stream accumulating per-bucket; a batch is emitted
+        # at the stream position where its bucket fills, so ordering is as
+        # close to the unbucketed shuffle as homogeneity allows and fully
+        # deterministic in (seed, epoch) — resume/skip replays exactly.
+        pending = {b: [] for b in range(len(self.bucket_widths))}
+        batches = []
+        for i in idx:
+            b = int(self._bucket_ids[i])
+            pending[b].append(i)
+            if len(pending[b]) == self.batch_size:
+                batches.append((np.asarray(pending[b]), self.bucket_widths[b]))
+                pending[b] = []
+        if not self.drop_last:
+            for b in sorted(pending):
+                if pending[b]:
+                    batches.append((np.asarray(pending[b]), self.bucket_widths[b]))
+        return batches
 
-    def _make_batch(self, indices: np.ndarray) -> dict:
+    def _make_batch(self, task) -> dict:
+        indices, bucket_w = task
         examples = [self.dataset[int(i)] for i in indices]
+        examples = crop_examples_to_bucket(examples, bucket_w)
         batch = self.collate_fn(examples)
         return pad_batch(batch, self.batch_size)
 

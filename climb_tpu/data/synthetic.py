@@ -56,7 +56,25 @@ class SyntheticVLDataset:
     def __len__(self):
         return self.size
 
-    def _image(self, rng, label):
+    def _patch_hws(self, i: int) -> np.ndarray:
+        """Per-example valid patch dims, drawn from a rng stream independent
+        of the example-content stream so ``canvas_widths()`` (aspect
+        bucketing) can compute them without materializing images."""
+        rng = np.random.RandomState(self.seed * 7919 + 1000003 + i)
+        h, w = self.canvas_hw
+        gh, gw = h // self.patch_size, w // self.patch_size
+        return rng.randint(
+            [1, 1], [gh + 1, gw + 1], size=(max(self.num_images, 1), 2)
+        ).astype(np.int32)
+
+    def canvas_widths(self) -> np.ndarray:
+        """Needed canvas width (pixels) per example — the bucketing hint."""
+        return np.array(
+            [int(self._patch_hws(i)[:, 1].max()) * self.patch_size for i in range(self.size)],
+            np.int64,
+        )
+
+    def _image(self, rng, label, patch_hw):
         h, w = self.canvas_hw
         # tile a small random texture instead of sampling every pixel —
         # ~20x cheaper per example with the same shapes/statistics
@@ -66,10 +84,6 @@ class SyntheticVLDataset:
             # Stamp a label-dependent pattern in the top-left patch so a model
             # can actually fit the data (sanity for integration tests).
             img[:16, :16, :] = (label * 37) % 256
-        gh, gw = h // self.patch_size, w // self.patch_size
-        patch_hw = np.array(
-            [rng.randint(1, gh + 1), rng.randint(1, gw + 1)], np.int32
-        )
         return img, patch_hw
 
     def __getitem__(self, i: int) -> dict:
@@ -100,12 +114,13 @@ class SyntheticVLDataset:
             ex["text_mask"] = mask
             ex["token_type_ids"] = np.zeros((L,), np.int32)
 
+        phws = self._patch_hws(i)
         if self.num_images == 2:
-            imgs, phws = zip(*[self._image(rng, label) for _ in range(2)])
+            imgs, phws2 = zip(*[self._image(rng, label, phws[j]) for j in range(2)])
             ex["pixel_values"] = np.stack(imgs)
-            ex["patch_hw"] = np.stack(phws)
+            ex["patch_hw"] = np.stack(phws2)
         else:
-            img, phw = self._image(rng, label)
+            img, phw = self._image(rng, label, phws[0])
             ex["pixel_values"] = img
             ex["patch_hw"] = phw
 
@@ -201,6 +216,9 @@ class SubsetDataset:
 
     def __getitem__(self, i):
         return self.base[int(self.indices[i])]
+
+    def canvas_widths(self):
+        return np.asarray(self.base.canvas_widths())[self.indices]
 
 
 def make_synthetic_vl_dataset(task_key: str, task_cfg: dict, split: str, size: int, text_len: int = 40, canvas_hw=(384, 640), seed: int = 0):

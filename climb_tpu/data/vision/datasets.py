@@ -60,6 +60,18 @@ class VisionDatasetBase(CanvasImageProvider):
         filename, label = self.dataset[i]
         return self._example(filename, np.int32(label))
 
+    def canvas_widths(self):
+        """Aspect-bucketing hint: per-example needed canvas width from image
+        headers (no decode) — see DataLoader(bucket_widths=...)."""
+        from climb_tpu.data.image_pipeline import predict_canvas_widths
+
+        memo = getattr(self, "_dims_memo", None)
+        if memo is None:
+            memo = self._dims_memo = {}
+        return predict_canvas_widths(
+            [[fn] for fn, _ in self.dataset], self.canvas_hw, memo=memo
+        )
+
 
 def _class_split_subsample(per_class, mode, n_shot, subsample_seed,
                            val_num_per_class=50, keep_small_classes=False,

@@ -102,6 +102,27 @@ class VLDatasetBase:
         ids, mask, types = self.encode_text(text)
         return {"input_ids": ids, "text_mask": mask, "token_type_ids": types}
 
+    # -- aspect-bucketing support --------------------------------------------
+    def _image_paths(self, ex) -> list:
+        """Image file path(s) of one self.data record (per-dataset)."""
+        raise NotImplementedError
+
+    def canvas_widths(self) -> np.ndarray:
+        """Per-example needed canvas width (pixels) — the DataLoader's
+        aspect-bucketing hint (header-only dims reads; path->dims memoized
+        on disk next to the dataset's annotation cache)."""
+        from climb_tpu.data.image_pipeline import predict_canvas_widths
+
+        memo = getattr(self, "_dims_memo", None)
+        if memo is None:
+            memo = self._dims_memo = {}
+        return predict_canvas_widths(
+            [self._image_paths(ex) for ex in self.data],
+            self.canvas_hw,
+            cache_path=getattr(self, "_dims_cache_path", None),
+            memo=memo,
+        )
+
 
 def _load_cache(path):
     if os.path.exists(path):
@@ -161,6 +182,7 @@ class VQADataset(VLDatasetBase):
                 })
             _save_cache(cache, self.data)
         self.n_examples = len(self.data)
+        self._dims_cache_path = os.path.join(data_dir, "cached_vqa_data", "image_dims.pkl")
         logger.info("Loaded VQAv2 %s: %d examples", split, self.n_examples)
 
     def __len__(self):
@@ -174,6 +196,9 @@ class VQADataset(VLDatasetBase):
         out["patch_hw"] = np.asarray(patch_hw, np.int32)
         out["target_scores"] = target_vector(self.num_labels, ex["labels"], ex["scores"])
         return out
+
+    def _image_paths(self, ex):
+        return [self.images_dataset.imageid2filename[ex["image_id"]]]
 
     def convert_to_low_shot(self, percentage: float = None, num_shots_per_class=None, seed=None):
         """seed=None reproduces the reference (global python RNG,
@@ -220,6 +245,7 @@ class NLVR2Dataset(VLDatasetBase):
                     })
             _save_cache(cache, self.data)
         self.n_examples = len(self.data)
+        self._dims_cache_path = os.path.join(data_dir, "cached_nlvr2_data", "image_dims.pkl")
         logger.info("Loaded NLVR2 %s: %d examples", split, self.n_examples)
 
     def __len__(self):
@@ -234,6 +260,9 @@ class NLVR2Dataset(VLDatasetBase):
         out["patch_hw"] = np.asarray([phw0, phw1], np.int32)
         out["labels"] = np.int32(ex["labels"])
         return out
+
+    def _image_paths(self, ex):
+        return [ex["image_id_0"], ex["image_id_1"]]
 
     def convert_to_low_shot(self, percentage=None, num_shots_per_class: int = None, seed=None):
         """seed=None reproduces the reference (global python RNG,
@@ -278,6 +307,7 @@ class SnliVEDataset(VLDatasetBase):
                     })
             _save_cache(cache, self.data)
         self.n_examples = len(self.data)
+        self._dims_cache_path = os.path.join(data_dir, "cached_ve_data", "image_dims.pkl")
         logger.info("Loaded SNLI-VE %s: %d examples", split, self.n_examples)
 
     def __len__(self):
@@ -291,6 +321,9 @@ class SnliVEDataset(VLDatasetBase):
         out["patch_hw"] = np.asarray(patch_hw, np.int32)
         out["labels"] = np.int32(ex["label"])
         return out
+
+    def _image_paths(self, ex):
+        return [self.images_dataset.imageid2filename[ex["image_id"]]]
 
     def convert_to_low_shot(self, percentage=None, num_shots_per_class: int = None, seed=None):
         """seed=None reproduces the reference (global python RNG,
@@ -350,6 +383,7 @@ class VCRDataset(VLDatasetBase):
                     self.data.append({"image_path": image_path, "texts": texts, "label": label})
             _save_cache(cache, self.data)
         self.n_examples = len(self.data)
+        self._dims_cache_path = os.path.join(data_dir, "cached_vcr_data", "image_dims.pkl")
         logger.info("Loaded VCR(%s) %s: %d examples", task_type, split, self.n_examples)
 
     def __len__(self):
@@ -368,6 +402,9 @@ class VCRDataset(VLDatasetBase):
             "patch_hw": np.asarray(patch_hw, np.int32),
             "labels": np.int32(ex["label"]),
         }
+
+    def _image_paths(self, ex):
+        return [ex["image_path"]]
 
     def convert_to_low_shot(self, percentage: float = None, num_shots_per_class=None, seed=None):
         """seed=None reproduces the reference (global python RNG,

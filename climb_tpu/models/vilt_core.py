@@ -388,6 +388,13 @@ class ViltCore(nn.Module):
         t = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(t)
 
         # ---- visual embeddings (HF visual_embed semantics, fixed grid) ----
+        # The grid comes from the traced pixel shape, not the config: aspect
+        # bucketing feeds narrower canvases (e.g. 384x512 for 4:3 photos) to
+        # the same module/params, and each distinct canvas is just another
+        # static-shape jit specialization. Parameters are grid-independent
+        # (the pretrained pos grid is interpolated per sample).
+        grid_h = pixel_values.shape[1] // cfg.patch_size
+        grid_w = pixel_values.shape[2] // cfg.patch_size
         patches = patchify(pixel_values.astype(dtype), cfg.patch_size)
         if cfg.dense_impl in ("int8", "int8_static") and deterministic:
             from climb_tpu.ops.quant import int8_dense, int8_dense_static
@@ -421,13 +428,13 @@ class ViltCore(nn.Module):
             jnp.float32,
         )
         pos_grid_param = vis_pos[1:].reshape(cfg.pos_grid, cfg.pos_grid, d)
-        pos = interpolate_visual_pos_embed(pos_grid_param, patch_hw, cfg.grid_h, cfg.grid_w)
+        pos = interpolate_visual_pos_embed(pos_grid_param, patch_hw, grid_h, grid_w)
         cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, d), jnp.float32)
         cls = jnp.broadcast_to(cls_token + vis_pos[0][None, None, :], (b, 1, d))
         img = jnp.concatenate([cls.astype(jnp.float32), proj.astype(jnp.float32) + pos], axis=1)
         img = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(img)
         img_mask = jnp.concatenate(
-            [jnp.ones((b, 1), jnp.float32), patch_grid_mask(patch_hw, cfg.grid_h, cfg.grid_w)],
+            [jnp.ones((b, 1), jnp.float32), patch_grid_mask(patch_hw, grid_h, grid_w)],
             axis=1,
         )
 

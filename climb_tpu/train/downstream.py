@@ -82,9 +82,16 @@ def train_downstream(args, model_module, params, task_config, datasets, loss_typ
     frozen BERT text side never moves (reference viltbert.py:115-120)."""
     train_ds, val_ds, test_ds = datasets
     num_epochs = task_config["num_epochs"]
+    from climb_tpu.data.loader import parse_bucket_widths
+
+    buckets = parse_bucket_widths(
+        getattr(args, "aspect_buckets", None),
+        canvas_width=getattr(args, "image_width", 640),
+    )
     train_loader = DataLoader(
         train_ds, args.batch_size, stack_collate, shuffle=True,
         seed=args.seed, num_workers=getattr(args, "num_workers", 2),
+        bucket_widths=buckets,
     )
     max_steps = len(train_loader) * num_epochs
     tx = make_optimizer(

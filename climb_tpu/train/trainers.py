@@ -111,6 +111,12 @@ class VLTaskTrainer(TaskTrainer):
             )
         if self.low_shot:
             self._convert_low_shot()
+        from climb_tpu.data.loader import parse_bucket_widths
+
+        buckets = parse_bucket_widths(
+            getattr(self.args, "aspect_buckets", None),
+            canvas_width=getattr(self.args, "image_width", 640),
+        )
         self.train_dataloader = DataLoader(
             self.train_dataset,
             self.batch_size,
@@ -119,6 +125,7 @@ class VLTaskTrainer(TaskTrainer):
             seed=getattr(self.args, "seed", 42),
             num_workers=getattr(self.args, "num_workers", 2),
             worker_mode=getattr(self.args, "worker_mode", "thread"),
+            bucket_widths=buckets,
         )
         # eval is forward-only and prefers larger batches (measured: forward
         # throughput peaks well above the train batch size); --eval_batch_size
@@ -132,6 +139,7 @@ class VLTaskTrainer(TaskTrainer):
             self.eval_dataset, eval_bs, stack_collate, shuffle=False,
             num_workers=getattr(self.args, "num_workers", 2),
             worker_mode=getattr(self.args, "worker_mode", "thread"),
+            bucket_widths=buckets,
         )
 
     def _convert_low_shot(self):

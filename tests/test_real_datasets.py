@@ -232,3 +232,36 @@ def test_dataloader_over_real_format(climb_dir, tokenizer):
     assert batches[0]["pixel_values"].shape == (4, 64, 96, 3)
     # padded final batch carries the valid mask
     assert batches[1]["valid"].sum() == 2
+
+
+def test_canvas_widths_match_loaded_patch_widths(climb_dir, tokenizer):
+    """Aspect-bucketing hint parity: the header-only width prediction must
+    equal the width the pipeline actually loads (patch_hw[...,1] * patch) —
+    a wrong prediction would silently demote batches to the safety path."""
+    from climb_tpu.data.image_backbones import (
+        Flickr30KImagesDataset,
+        MSCOCOImagesDataset,
+    )
+    from climb_tpu.data.visionlanguage import (
+        NLVR2Dataset,
+        SnliVEDataset,
+        VCRDataset,
+        VQADataset,
+    )
+
+    coco = MSCOCOImagesDataset(os.path.join(climb_dir, "ms-coco"), CANVAS)
+    flickr = Flickr30KImagesDataset(os.path.join(climb_dir, "flickr30k"), CANVAS)
+    datasets = [
+        VQADataset(os.path.join(climb_dir, "vqav2"), coco, "train", tokenizer, 40, CANVAS),
+        NLVR2Dataset(os.path.join(climb_dir, "nlvr2"), "train", tokenizer, 40, CANVAS),
+        SnliVEDataset(os.path.join(climb_dir, "snli-ve"), flickr, "train", tokenizer, 40, CANVAS),
+        VCRDataset(os.path.join(climb_dir, "vcr"), "train", "qa", tokenizer, 40, CANVAS),
+    ]
+    for ds in datasets:
+        widths = ds.canvas_widths()
+        assert len(widths) == len(ds)
+        for i in range(len(ds)):
+            actual = int(np.max(np.asarray(ds[i]["patch_hw"])[..., 1])) * 32
+            assert widths[i] == actual, (type(ds).__name__, i, widths[i], actual)
+        # the header-dims memo is persisted next to the annotation caches
+        assert os.path.exists(ds._dims_cache_path)
