@@ -82,11 +82,12 @@ def build_state_and_step(args):
     return model, cfg, state, train_step
 
 
-def static_batch(cfg, rng, width=None):
+def static_batch(cfg, rng, width=None, text_len=None):
     width = width or cfg.image_width
+    text_len = text_len or cfg.max_text_len
     return {
-        "input_ids": jnp.asarray(rng.randint(1, cfg.vocab_size, (BATCH, cfg.max_text_len)), jnp.int32),
-        "text_mask": jnp.ones((BATCH, cfg.max_text_len), jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(1, cfg.vocab_size, (BATCH, text_len)), jnp.int32),
+        "text_mask": jnp.ones((BATCH, text_len), jnp.float32),
         "pixel_values": jnp.asarray(
             rng.randint(0, 255, (BATCH, cfg.image_height, width, 3)), jnp.uint8
         ),
@@ -160,6 +161,55 @@ def bench_aspect_mix(state, train_step, cfg, mix=((512, 7), (640, 2), (288, 1)))
             bdt = min(bdt, time.perf_counter() - t0)
         per_width[w] = BATCH * MEASURE_STEPS / bdt
     return blended, per_width
+
+
+def bench_bucket_mix(
+    state,
+    train_step,
+    cfg,
+    mix=((512, 16, 5), (512, 24, 2), (640, 24, 1), (640, 40, 1), (288, 16, 1)),
+):
+    """Blended throughput with BOTH aspect and text-length bucketing.
+
+    `mix` is (canvas_width, text_len, weight): the default crosses the
+    COCO-like width mix (70/20/10% of 512/640/288) with an SNLI-VE/VQA-like
+    token-count mix (most texts <=16 tokens, a minority 17-24, a tail at the
+    full 40). Interleaves every (width, text_len) jit specialization in one
+    measured loop. Returns (blended ex/s, {(w, t): ex/s})."""
+    rng = np.random.RandomState(3)
+    stream = [(w, t) for w, t, n in mix for _ in range(n)]
+    batches = {
+        (w, t): static_batch(cfg, rng, width=w, text_len=t) for w, t, _ in mix
+    }
+    key = jax.random.PRNGKey(4)
+    for wt in batches:  # compile each specialization
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batches[wt], sub)
+    float(metrics["loss"])
+
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            for wt in stream:
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(state, batches[wt], sub)
+        float(metrics["loss"])
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    blended = BATCH * MEASURE_STEPS * len(stream) / best_dt
+
+    per_cfg = {}
+    for wt in batches:
+        bdt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(MEASURE_STEPS):
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(state, batches[wt], sub)
+            float(metrics["loss"])
+            bdt = min(bdt, time.perf_counter() - t0)
+        per_cfg[wt] = BATCH * MEASURE_STEPS / bdt
+    return blended, per_cfg
 
 
 def bench_loader_fed(state, train_step, cfg, n_steps: int = 6):
@@ -257,6 +307,10 @@ def main():
     ap.add_argument("--aspect-mix", action="store_true",
                     help="also measure aspect-bucketed throughput on a "
                          "COCO-like width mix (70%% 512 / 20%% 640 / 10%% 288)")
+    ap.add_argument("--bucket-mix", action="store_true",
+                    help="also measure aspect+text-length bucketed "
+                         "throughput on a COCO-like width mix crossed with "
+                         "an SNLI-VE-like token-count mix")
     flags = ap.parse_args()
 
     args = SimpleNamespace(
@@ -312,6 +366,25 @@ def main():
                     "speedup_vs_fixed_canvas": round(blended / examples_per_sec, 3),
                     "mix": "70% 512w / 20% 640w / 10% 288w (COCO-like)",
                     "per_width_ex_s": {str(w): round(v, 2) for w, v in per_width.items()},
+                }
+            )
+        )
+
+    if flags.bucket_mix:
+        blended, per_cfg = bench_bucket_mix(state, train_step, cfg)
+        print(
+            json.dumps(
+                {
+                    "metric": "snli-ve_train_examples_per_sec_aspect_text_bucketed",
+                    "value": round(blended, 2),
+                    "unit": "examples/sec/chip",
+                    "vs_baseline": round(blended / TARGET, 3),
+                    "speedup_vs_fixed_canvas": round(blended / examples_per_sec, 3),
+                    "mix": "width 70% 512 / 20% 640 / 10% 288 x text-len "
+                           "~70% 16 / ~25% 24 / ~5% 40 (COCO+SNLI-VE-like)",
+                    "per_config_ex_s": {
+                        f"{w}w_{t}t": round(v, 2) for (w, t), v in per_cfg.items()
+                    },
                 }
             )
         )

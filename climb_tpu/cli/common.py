@@ -128,6 +128,17 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                              "(docs/PERF.md). One extra jit specialization "
                              "per bucket; results are unchanged (padding "
                              "patches are masked either way).")
+    parser.add_argument("--text_buckets", type=str, default=None,
+                        help="Comma-separated text-length buckets (tokens, "
+                             "e.g. '16,24,40') or 'auto': the sequence-axis "
+                             "analog of --aspect_buckets. Each batch holds "
+                             "only examples whose real token count fits one "
+                             "bucket and its text arrays are sliced to it — "
+                             "typical VQA/SNLI-VE texts (10-15 tokens) stop "
+                             "paying attention+MLP FLOPs for the 40-token "
+                             "pad. Composes with --aspect_buckets; results "
+                             "are unchanged (padding tokens are masked "
+                             "either way).")
     parser.add_argument("--max_text_len", type=int, default=40)
     # Hermetic/testing extensions
     parser.add_argument("--synthetic", action="store_true",

@@ -74,9 +74,10 @@ def _try_create_fork_pool(state, num_workers, deadline=10.0):
 
 def _process_worker_make_batch(task):
     dataset, collate_fn, batch_size = _FORK_STATE
-    indices, bucket_w = task
+    indices, bucket_w, text_len = task
     examples = [dataset[int(i)] for i in indices]
     examples = crop_examples_to_bucket(examples, bucket_w)
+    examples = crop_examples_to_text_len(examples, text_len)
     return pad_batch(collate_fn(examples), batch_size)
 
 
@@ -105,6 +106,57 @@ def crop_examples_to_bucket(examples, bucket_w, patch_size: int = 32):
             ex["pixel_values"] = np.ascontiguousarray(pv[..., :w, :])
         out.append(ex)
     return out
+
+
+TEXT_KEYS = ("input_ids", "text_mask", "token_type_ids")
+
+
+def crop_examples_to_text_len(examples, text_len):
+    """Slice each example's text arrays to `text_len` tokens (last axis).
+
+    Text is right-padded and padding tokens are masked out of attention, so
+    dropping them is lossless (the model slices its position table by the
+    traced length). Safety mirrors the canvas crop: if any example's real
+    token count exceeds the bucket prediction, widen to the needed multiple
+    of 8 instead of cutting live tokens.
+    """
+    if text_len is None:
+        return examples
+    needed = 0
+    for ex in examples:
+        mask = np.asarray(ex["text_mask"])
+        needed = max(needed, int(mask.sum(axis=-1).max()))
+    needed = -(-needed // 8) * 8  # round up to a multiple of 8
+    full = int(np.asarray(examples[0]["input_ids"]).shape[-1])
+    L = min(max(text_len, needed), full)
+    if L == full:
+        return examples
+    out = []
+    for ex in examples:
+        ex = dict(ex)
+        for k in TEXT_KEYS:
+            if k in ex:
+                ex[k] = np.ascontiguousarray(np.asarray(ex[k])[..., :L])
+        out.append(ex)
+    return out
+
+
+def parse_text_buckets(value, max_text_len: int = 40):
+    """Normalize a --text_buckets value: None, 'auto', 'l1,l2,...', or a
+    sequence of ints -> ascending tuple of token lengths capped at
+    max_text_len (or None). 'auto' = {16, 24, max_text_len}."""
+    if value is None:
+        return None
+    if isinstance(value, str):
+        if value.strip() == "auto":
+            lens = {l for l in (16, 24) if l < max_text_len}
+            return tuple(sorted(lens | {max_text_len}))
+        lens = tuple(int(l) for l in value.split(",") if l.strip())
+    else:
+        lens = tuple(int(l) for l in value)
+    if not lens:
+        return None
+    return tuple(sorted({min(l, max_text_len) for l in lens} | {max_text_len}))
 
 
 def parse_bucket_widths(value, canvas_width: int = 640, patch_size: int = 32):
@@ -165,6 +217,7 @@ class DataLoader:
         host_count: Optional[int] = None,
         worker_mode: str = "thread",
         bucket_widths: Optional[Sequence[int]] = None,
+        text_bucket_lens: Optional[Sequence[int]] = None,
     ):
         """host_id/host_count: per-host sharding for multi-host meshes — each
         host iterates a disjoint stripe of the (seed+epoch-shuffled) index
@@ -180,7 +233,16 @@ class DataLoader:
         measured step-time win (docs/PERF.md). Requires the dataset to
         expose ``canvas_widths()`` (per-example needed width in pixels);
         without it bucketing is disabled with a warning. Batch order stays
-        deterministic in (seed, epoch), so resume/skip semantics hold."""
+        deterministic in (seed, epoch), so resume/skip semantics hold.
+
+        text_bucket_lens: text-length bucketing (token counts, ascending,
+        e.g. (16, 24, 40)) — the sequence-axis analog of aspect bucketing.
+        Each batch then holds only examples whose real token count fits one
+        bucket and its text arrays are sliced to that length; typical VQA/
+        SNLI-VE texts (10-15 tokens) stop paying for the 40-token pad.
+        Requires the dataset to expose ``text_lengths()`` (per-example token
+        counts); composes freely with bucket_widths (buckets are the cross
+        product, batches stay homogeneous in both)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -206,33 +268,41 @@ class DataLoader:
         self.host_id = host_id or 0
         self.host_count = max(1, host_count)
 
-        self.bucket_widths = None
-        self._bucket_ids = None
-        if bucket_widths:
-            widths = tuple(sorted(int(w) for w in bucket_widths))
-            get_widths = getattr(dataset, "canvas_widths", None)
-            need = None
-            if get_widths is not None:
-                try:
-                    need = np.asarray(get_widths())
-                except (AttributeError, NotImplementedError):
-                    need = None
-            if need is None:
-                logger.warning(
-                    "aspect bucketing requested but %s provides no "
-                    "canvas_widths(); running unbucketed", type(dataset).__name__,
-                )
-            else:
-                # smallest bucket that fits each example; wider-than-largest
-                # clamps to the largest bucket (crop is safety-checked at
-                # batch build time and widens rather than cutting pixels)
-                self.bucket_widths = widths
-                self._bucket_ids = np.searchsorted(
-                    np.asarray(widths), np.minimum(need, widths[-1])
-                ).astype(np.int64)
+        # Each bucketing dimension maps every example to the smallest bucket
+        # that fits it; wider/longer-than-largest clamps to the largest bucket
+        # (crops are safety-checked at batch build time and widen rather than
+        # cut valid data). Combined buckets are the cross product.
+        self.bucket_widths, self._bucket_ids = self._setup_buckets(
+            bucket_widths, "canvas_widths", "aspect bucketing"
+        )
+        self.text_bucket_lens, self._text_bucket_ids = self._setup_buckets(
+            text_bucket_lens, "text_lengths", "text-length bucketing"
+        )
+
+    def _setup_buckets(self, bounds, hint_attr: str, what: str):
+        if not bounds:
+            return None, None
+        bounds = tuple(sorted(int(b) for b in bounds))
+        get_hint = getattr(self.dataset, hint_attr, None)
+        need = None
+        if get_hint is not None:
+            try:
+                need = np.asarray(get_hint())
+            except (AttributeError, NotImplementedError):
+                need = None
+        if need is None:
+            logger.warning(
+                "%s requested but %s provides no %s(); running unbucketed",
+                what, type(self.dataset).__name__, hint_attr,
+            )
+            return None, None
+        ids = np.searchsorted(
+            np.asarray(bounds), np.minimum(need, bounds[-1])
+        ).astype(np.int64)
+        return bounds, ids
 
     def __len__(self):
-        if self.bucket_widths is not None:
+        if self.bucket_widths is not None or self.text_bucket_lens is not None:
             return len(self._index_batches())
         n = len(self.dataset)
         if self.drop_last:
@@ -250,7 +320,8 @@ class DataLoader:
         self.skip = int(n_batches)
 
     def _index_batches(self) -> Sequence[tuple]:
-        """Deterministic (indices, bucket_width) batch list for this epoch."""
+        """Deterministic (indices, bucket_width, text_len) batch list for
+        this epoch."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
@@ -259,10 +330,10 @@ class DataLoader:
         if self.host_count > 1:
             idx = idx[self.host_id :: self.host_count]
             n = len(idx)
-        if self.bucket_widths is None:
+        if self.bucket_widths is None and self.text_bucket_lens is None:
             stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
             return [
-                (idx[i : i + self.batch_size], None)
+                (idx[i : i + self.batch_size], None, None)
                 for i in range(0, stop, self.batch_size)
                 if i < stop
             ]
@@ -270,24 +341,36 @@ class DataLoader:
         # at the stream position where its bucket fills, so ordering is as
         # close to the unbucketed shuffle as homogeneity allows and fully
         # deterministic in (seed, epoch) — resume/skip replays exactly.
-        pending = {b: [] for b in range(len(self.bucket_widths))}
+        def key(i):
+            wb = 0 if self._bucket_ids is None else int(self._bucket_ids[i])
+            tb = 0 if self._text_bucket_ids is None else int(self._text_bucket_ids[i])
+            return wb, tb
+
+        def bounds(k):
+            wb, tb = k
+            w = None if self.bucket_widths is None else self.bucket_widths[wb]
+            t = None if self.text_bucket_lens is None else self.text_bucket_lens[tb]
+            return w, t
+
+        pending = {}
         batches = []
         for i in idx:
-            b = int(self._bucket_ids[i])
-            pending[b].append(i)
-            if len(pending[b]) == self.batch_size:
-                batches.append((np.asarray(pending[b]), self.bucket_widths[b]))
-                pending[b] = []
+            k = key(i)
+            pending.setdefault(k, []).append(i)
+            if len(pending[k]) == self.batch_size:
+                batches.append((np.asarray(pending[k]),) + bounds(k))
+                pending[k] = []
         if not self.drop_last:
-            for b in sorted(pending):
-                if pending[b]:
-                    batches.append((np.asarray(pending[b]), self.bucket_widths[b]))
+            for k in sorted(pending):
+                if pending[k]:
+                    batches.append((np.asarray(pending[k]),) + bounds(k))
         return batches
 
     def _make_batch(self, task) -> dict:
-        indices, bucket_w = task
+        indices, bucket_w, text_len = task
         examples = [self.dataset[int(i)] for i in indices]
         examples = crop_examples_to_bucket(examples, bucket_w)
+        examples = crop_examples_to_text_len(examples, text_len)
         batch = self.collate_fn(examples)
         return pad_batch(batch, self.batch_size)
 

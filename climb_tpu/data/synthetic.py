@@ -74,6 +74,20 @@ class SyntheticVLDataset:
             np.int64,
         )
 
+    def _text_lens(self, i: int) -> np.ndarray:
+        """Per-text token counts for example i, from a rng stream independent
+        of the content stream so ``text_lengths()`` (text-length bucketing)
+        needs no example materialization."""
+        rng = np.random.RandomState(self.seed * 7919 + 2000003 + i)
+        n = self.num_choices if self.model_type == "multi-choice" else 1
+        return rng.randint(4, self.text_len, size=(n,))
+
+    def text_lengths(self) -> np.ndarray:
+        """Real token count per example — the text-bucketing hint."""
+        return np.array(
+            [int(self._text_lens(i).max()) for i in range(self.size)], np.int64
+        )
+
     def _image(self, rng, label, patch_hw):
         h, w = self.canvas_hw
         # tile a small random texture instead of sampling every pixel —
@@ -90,9 +104,10 @@ class SyntheticVLDataset:
         rng = np.random.RandomState(self.seed * 100003 + i)
         label = int(self.labels[i])
         L = self.text_len
+        text_lens = iter(self._text_lens(i))
 
         def text():
-            n = rng.randint(4, L)
+            n = int(next(text_lens))
             ids = np.zeros((L,), np.int32)
             ids[0] = 101
             ids[1:n] = rng.randint(1000, 2000, size=(n - 1,))
@@ -219,6 +234,9 @@ class SubsetDataset:
 
     def canvas_widths(self):
         return np.asarray(self.base.canvas_widths())[self.indices]
+
+    def text_lengths(self):
+        return np.asarray(self.base.text_lengths())[self.indices]
 
 
 def make_synthetic_vl_dataset(task_key: str, task_cfg: dict, split: str, size: int, text_len: int = 40, canvas_hw=(384, 640), seed: int = 0):

@@ -123,6 +123,40 @@ class VLDatasetBase:
             memo=memo,
         )
 
+    # -- text-length-bucketing support ---------------------------------------
+    def _example_texts(self, ex) -> list:
+        """Text string(s) of one self.data record (per-dataset)."""
+        raise NotImplementedError
+
+    def text_lengths(self) -> np.ndarray:
+        """Per-example real token count (max over an example's texts) — the
+        DataLoader's text-length-bucketing hint. Token counts come from the
+        actual tokenizer (exact, so bucket misses only happen on the safety
+        path); text->len is memoized on disk next to the annotation cache."""
+        cache_path = getattr(self, "_tlen_cache_path", None)
+        memo = getattr(self, "_tlen_memo", None)
+        if memo is None:
+            memo = _load_cache(cache_path) if cache_path else None
+            memo = self._tlen_memo = memo if isinstance(memo, dict) else {}
+        dirty = False
+        lens = np.empty((len(self.data),), np.int64)
+        for i, ex in enumerate(self.data):
+            n = 0
+            for t in self._example_texts(ex):
+                ln = memo.get(t)
+                if ln is None:
+                    _, mask, _ = self.encode_text(t)
+                    memo[t] = ln = int(np.sum(mask))
+                    dirty = True
+                n = max(n, ln)
+            lens[i] = n
+        if dirty and cache_path:
+            try:
+                _save_cache(cache_path, memo)
+            except OSError:
+                pass
+        return lens
+
 
 def _load_cache(path):
     if os.path.exists(path):
@@ -183,6 +217,7 @@ class VQADataset(VLDatasetBase):
             _save_cache(cache, self.data)
         self.n_examples = len(self.data)
         self._dims_cache_path = os.path.join(data_dir, "cached_vqa_data", "image_dims.pkl")
+        self._tlen_cache_path = os.path.join(data_dir, "cached_vqa_data", "text_lens.pkl")
         logger.info("Loaded VQAv2 %s: %d examples", split, self.n_examples)
 
     def __len__(self):
@@ -199,6 +234,9 @@ class VQADataset(VLDatasetBase):
 
     def _image_paths(self, ex):
         return [self.images_dataset.imageid2filename[ex["image_id"]]]
+
+    def _example_texts(self, ex):
+        return [ex["question"]]
 
     def convert_to_low_shot(self, percentage: float = None, num_shots_per_class=None, seed=None):
         """seed=None reproduces the reference (global python RNG,
@@ -246,6 +284,7 @@ class NLVR2Dataset(VLDatasetBase):
             _save_cache(cache, self.data)
         self.n_examples = len(self.data)
         self._dims_cache_path = os.path.join(data_dir, "cached_nlvr2_data", "image_dims.pkl")
+        self._tlen_cache_path = os.path.join(data_dir, "cached_nlvr2_data", "text_lens.pkl")
         logger.info("Loaded NLVR2 %s: %d examples", split, self.n_examples)
 
     def __len__(self):
@@ -263,6 +302,9 @@ class NLVR2Dataset(VLDatasetBase):
 
     def _image_paths(self, ex):
         return [ex["image_id_0"], ex["image_id_1"]]
+
+    def _example_texts(self, ex):
+        return [ex["sentence"]]
 
     def convert_to_low_shot(self, percentage=None, num_shots_per_class: int = None, seed=None):
         """seed=None reproduces the reference (global python RNG,
@@ -308,6 +350,7 @@ class SnliVEDataset(VLDatasetBase):
             _save_cache(cache, self.data)
         self.n_examples = len(self.data)
         self._dims_cache_path = os.path.join(data_dir, "cached_ve_data", "image_dims.pkl")
+        self._tlen_cache_path = os.path.join(data_dir, "cached_ve_data", "text_lens.pkl")
         logger.info("Loaded SNLI-VE %s: %d examples", split, self.n_examples)
 
     def __len__(self):
@@ -324,6 +367,9 @@ class SnliVEDataset(VLDatasetBase):
 
     def _image_paths(self, ex):
         return [self.images_dataset.imageid2filename[ex["image_id"]]]
+
+    def _example_texts(self, ex):
+        return [ex["hypothesis"]]
 
     def convert_to_low_shot(self, percentage=None, num_shots_per_class: int = None, seed=None):
         """seed=None reproduces the reference (global python RNG,
@@ -384,6 +430,7 @@ class VCRDataset(VLDatasetBase):
             _save_cache(cache, self.data)
         self.n_examples = len(self.data)
         self._dims_cache_path = os.path.join(data_dir, "cached_vcr_data", "image_dims.pkl")
+        self._tlen_cache_path = os.path.join(data_dir, "cached_vcr_data", f"text_lens_{task_type}.pkl")
         logger.info("Loaded VCR(%s) %s: %d examples", task_type, split, self.n_examples)
 
     def __len__(self):
@@ -405,6 +452,9 @@ class VCRDataset(VLDatasetBase):
 
     def _image_paths(self, ex):
         return [ex["image_path"]]
+
+    def _example_texts(self, ex):
+        return list(ex["texts"])
 
     def convert_to_low_shot(self, percentage: float = None, num_shots_per_class=None, seed=None):
         """seed=None reproduces the reference (global python RNG,

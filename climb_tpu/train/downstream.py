@@ -82,16 +82,21 @@ def train_downstream(args, model_module, params, task_config, datasets, loss_typ
     frozen BERT text side never moves (reference viltbert.py:115-120)."""
     train_ds, val_ds, test_ds = datasets
     num_epochs = task_config["num_epochs"]
-    from climb_tpu.data.loader import parse_bucket_widths
+    from climb_tpu.data.loader import parse_bucket_widths, parse_text_buckets
 
     buckets = parse_bucket_widths(
         getattr(args, "aspect_buckets", None),
         canvas_width=getattr(args, "image_width", 640),
     )
+    tbuckets = parse_text_buckets(
+        getattr(args, "text_buckets", None),
+        max_text_len=getattr(args, "max_text_len", 40),
+    )
     train_loader = DataLoader(
         train_ds, args.batch_size, stack_collate, shuffle=True,
         seed=args.seed, num_workers=getattr(args, "num_workers", 2),
         bucket_widths=buckets,
+        text_bucket_lens=tbuckets,
     )
     max_steps = len(train_loader) * num_epochs
     tx = make_optimizer(

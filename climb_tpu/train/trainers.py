@@ -111,11 +111,15 @@ class VLTaskTrainer(TaskTrainer):
             )
         if self.low_shot:
             self._convert_low_shot()
-        from climb_tpu.data.loader import parse_bucket_widths
+        from climb_tpu.data.loader import parse_bucket_widths, parse_text_buckets
 
         buckets = parse_bucket_widths(
             getattr(self.args, "aspect_buckets", None),
             canvas_width=getattr(self.args, "image_width", 640),
+        )
+        tbuckets = parse_text_buckets(
+            getattr(self.args, "text_buckets", None),
+            max_text_len=getattr(self.args, "max_text_len", 40),
         )
         self.train_dataloader = DataLoader(
             self.train_dataset,
@@ -126,6 +130,7 @@ class VLTaskTrainer(TaskTrainer):
             num_workers=getattr(self.args, "num_workers", 2),
             worker_mode=getattr(self.args, "worker_mode", "thread"),
             bucket_widths=buckets,
+            text_bucket_lens=tbuckets,
         )
         # eval is forward-only and prefers larger batches (measured: forward
         # throughput peaks well above the train batch size); --eval_batch_size
@@ -140,6 +145,7 @@ class VLTaskTrainer(TaskTrainer):
             num_workers=getattr(self.args, "num_workers", 2),
             worker_mode=getattr(self.args, "worker_mode", "thread"),
             bucket_widths=buckets,
+            text_bucket_lens=tbuckets,
         )
 
     def _convert_low_shot(self):

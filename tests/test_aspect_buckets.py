@@ -95,7 +95,7 @@ def test_bucketed_loader_partition_and_crop():
     widths = ds.canvas_widths()
     seen = []
     n_batches = 0
-    for (indices, bw), batch in zip(loader._index_batches(), loader):
+    for (indices, bw, _tl), batch in zip(loader._index_batches(), loader):
         n_batches += 1
         seen.extend(indices.tolist())
         # homogeneity: every example's needed width fits the bucket

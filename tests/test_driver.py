@@ -132,3 +132,28 @@ def test_corrupt_task_checkpoint_retrains(tmp_path):
     assert "vilt" in tree
     results = json.loads((exp / "results.json").read_text())
     assert results[0]["task_key"] == "snli-ve"
+
+
+def test_driver_with_fsdp(tmp_path):
+    """--use_mesh --fsdp runs the whole driver with ZeRO-3 param/optimizer
+    sharding over the CPU mesh; results layout unchanged."""
+    run(tmp_path, "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+        "--use_mesh", "--fsdp", "--do_train")
+    out = tmp_path / "vilt-singletask_ft-task0_snli-ve"
+    results = json.loads((out / "results.json").read_text())
+    assert results[0]["task_key"] == "snli-ve"
+    assert (out / "checkpoints" / "task0_snli-ve" / "model").is_file()
+
+
+def test_driver_with_buckets(tmp_path):
+    """Aspect + text bucketing through the full driver: train + eval stream
+    mixed canvas widths and text lengths through per-bucket jit
+    specializations of one model."""
+    run(tmp_path, "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+        "--aspect_buckets", "auto", "--text_buckets", "auto",
+        "--synthetic_train_size", "32", "--do_train")
+    out = tmp_path / "vilt-singletask_ft-task0_snli-ve"
+    results = json.loads((out / "results.json").read_text())
+    assert results[0]["task_key"] == "snli-ve"

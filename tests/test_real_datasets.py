@@ -265,3 +265,36 @@ def test_canvas_widths_match_loaded_patch_widths(climb_dir, tokenizer):
             assert widths[i] == actual, (type(ds).__name__, i, widths[i], actual)
         # the header-dims memo is persisted next to the annotation caches
         assert os.path.exists(ds._dims_cache_path)
+
+
+def test_text_lengths_match_real_token_counts(climb_dir, tokenizer):
+    """Text-bucketing hint parity: text_lengths() must equal the real token
+    count the pipeline emits (text_mask sums) — exact because it runs the
+    same tokenizer; the text->len memo is persisted next to the caches."""
+    from climb_tpu.data.image_backbones import (
+        Flickr30KImagesDataset,
+        MSCOCOImagesDataset,
+    )
+    from climb_tpu.data.visionlanguage import (
+        NLVR2Dataset,
+        SnliVEDataset,
+        VCRDataset,
+        VQADataset,
+    )
+
+    coco = MSCOCOImagesDataset(os.path.join(climb_dir, "ms-coco"), CANVAS)
+    flickr = Flickr30KImagesDataset(os.path.join(climb_dir, "flickr30k"), CANVAS)
+    datasets = [
+        VQADataset(os.path.join(climb_dir, "vqav2"), coco, "train", tokenizer, 40, CANVAS),
+        NLVR2Dataset(os.path.join(climb_dir, "nlvr2"), "train", tokenizer, 40, CANVAS),
+        SnliVEDataset(os.path.join(climb_dir, "snli-ve"), flickr, "train", tokenizer, 40, CANVAS),
+        VCRDataset(os.path.join(climb_dir, "vcr"), "train", "qa", tokenizer, 40, CANVAS),
+    ]
+    for ds in datasets:
+        lens = ds.text_lengths()
+        assert len(lens) == len(ds)
+        for i in range(len(ds)):
+            mask = np.asarray(ds[i]["text_mask"])
+            actual = int(mask.sum(axis=-1).max())
+            assert lens[i] == actual, (type(ds).__name__, i, lens[i], actual)
+        assert os.path.exists(ds._tlen_cache_path)
