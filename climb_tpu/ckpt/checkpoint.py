@@ -15,6 +15,8 @@ re-shard on load).
 
 import logging
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Tuple
 
 import jax
@@ -28,11 +30,67 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
-def save_params(tree, path: str):
+def _write_atomic(blob: bytes, path: str):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    blob = serialization.msgpack_serialize(_to_host(tree))
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(blob)
+    os.replace(tmp, path)
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint serialization + disk I/O with training.
+
+    The device->host fetch stays synchronous in the caller (it must: the
+    train step donates its input state, so device buffers are invalid one
+    step later); serialization and the file write — the expensive part on a
+    real host — run on a single background thread. At most one write per
+    target path is in flight: a new submit for the same path first joins the
+    previous one, which bounds host memory at ~2 snapshots and keeps file
+    ordering. All writes are tmp+rename atomic, so a crash mid-write never
+    corrupts the previous checkpoint. Call ``flush()`` before reading the
+    files back, removing them, or exiting — it re-raises any writer error.
+    """
+
+    def __init__(self):
+        self._executor = ThreadPoolExecutor(1, thread_name_prefix="ckpt-writer")
+        self._pending = {}
+        self._lock = threading.Lock()
+
+    def submit(self, host_tree_or_payload, path: str):
+        with self._lock:
+            prev = self._pending.get(path)
+        if prev is not None:
+            prev.result()  # keep per-path ordering; re-raise earlier failures
+
+        def job():
+            _write_atomic(
+                serialization.msgpack_serialize(host_tree_or_payload), path
+            )
+
+        fut = self._executor.submit(job)
+        with self._lock:
+            self._pending[path] = fut
+        return fut
+
+    def flush(self):
+        with self._lock:
+            pending = list(self._pending.values())
+            self._pending.clear()
+        for f in pending:
+            f.result()
+
+    def close(self):
+        self.flush()
+        self._executor.shutdown(wait=True)
+
+
+def save_params(tree, path: str, async_writer: Optional[AsyncCheckpointWriter] = None):
+    host = _to_host(tree)
+    if async_writer is not None:
+        async_writer.submit(host, path)
+        return
+    _write_atomic(serialization.msgpack_serialize(host), path)
 
 
 def load_params(path: str) -> dict:
@@ -50,20 +108,22 @@ def load_params(path: str) -> dict:
         return serialization.msgpack_restore(f.read())
 
 
-def save_train_state(state, meta: dict, path: str):
+def save_train_state(state, meta: dict, path: str, async_writer: Optional[AsyncCheckpointWriter] = None):
     """Atomic save of the FULL training state (params + optimizer moments +
     step) plus host metadata — enables mid-task elastic resume, which the
     reference cannot do (SURVEY.md section 5.3: optimizer state lives only in
-    RAM there; recovery granularity is a whole task)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    RAM there; recovery granularity is a whole task). With ``async_writer``
+    the serialization + disk write overlap the next training steps (the
+    host snapshot is taken synchronously — the donated device buffers are
+    gone one step later)."""
     payload = {
         "state": serialization.to_state_dict(_to_host(state)),
         "meta": {k: np.asarray(v) for k, v in meta.items()},
     }
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.msgpack_serialize(payload))
-    os.replace(tmp, path)
+    if async_writer is not None:
+        async_writer.submit(payload, path)
+        return
+    _write_atomic(serialization.msgpack_serialize(payload), path)
 
 
 def load_train_state(template_state, path: str):

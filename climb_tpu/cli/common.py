@@ -139,6 +139,12 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                              "pad. Composes with --aspect_buckets; results "
                              "are unchanged (padding tokens are masked "
                              "either way).")
+    parser.add_argument("--async_checkpoint", action="store_true",
+                        help="Overlap elastic-checkpoint serialization + "
+                             "disk I/O with training on a background writer "
+                             "thread (device->host snapshot stays "
+                             "synchronous; writes are tmp+rename atomic). "
+                             "Use with --save_state_epochs.")
     parser.add_argument("--max_text_len", type=int, default=40)
     # Hermetic/testing extensions
     parser.add_argument("--synthetic", action="store_true",

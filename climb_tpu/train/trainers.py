@@ -217,6 +217,7 @@ class VLTaskTrainer(TaskTrainer):
         import os as _os
 
         from climb_tpu.ckpt.checkpoint import (
+            AsyncCheckpointWriter,
             load_params,
             load_train_state,
             save_params,
@@ -227,6 +228,14 @@ class VLTaskTrainer(TaskTrainer):
         save_every = int(getattr(self.args, "save_state_epochs", 0) or 0)
         state_path = _os.path.join(ckpt_dir, "train_state") if ckpt_dir else None
         best_path = _os.path.join(ckpt_dir, "best_model") if ckpt_dir else None
+        # --async_checkpoint: elastic/best saves overlap training (the host
+        # snapshot stays synchronous; serialization + disk I/O move to a
+        # writer thread — ckpt/checkpoint.py::AsyncCheckpointWriter)
+        awriter = (
+            AsyncCheckpointWriter()
+            if state_path and getattr(self.args, "async_checkpoint", False)
+            else None
+        )
         start_epoch, resume_skip = 1, 0
         if state_path and save_every and _os.path.exists(state_path):
             py_rng_before = py_random.getstate()
@@ -281,6 +290,34 @@ class VLTaskTrainer(TaskTrainer):
             preempt = install_preemption_handler()
         from climb_tpu.utils.preemption import preemption_requested
 
+        try:
+            best_score, best_params = self._epoch_loop(
+                model, state, train_step, replay_memory, ewc,
+                start_epoch, resume_skip, global_step, best_score, best_params,
+                log_freq, replay_freq, profile_dir, preempt,
+                save_every, state_path, best_path, awriter,
+                device_prefetch, save_params, save_train_state,
+            )
+        finally:
+            if awriter is not None:
+                # join pending writes even on failure/preemption so files on
+                # disk are complete before any reader (or retry) sees them;
+                # re-raises writer errors on the clean path
+                awriter.close()
+        if state_path and _os.path.exists(state_path):
+            _os.remove(state_path)  # task completed; the task ckpt supersedes
+        return best_score, model.with_params(best_params)
+
+    def _epoch_loop(
+        self, model, state, train_step, replay_memory, ewc,
+        start_epoch, resume_skip, global_step, best_score, best_params,
+        log_freq, replay_freq, profile_dir, preempt,
+        save_every, state_path, best_path, awriter,
+        device_prefetch, save_params, save_train_state,
+    ):
+
+        from climb_tpu.utils.preemption import preemption_requested
+
         for epoch in range(start_epoch, self.num_epochs + 1):
             self.train_dataloader.set_epoch(epoch)
             steps_this_epoch = 0
@@ -320,6 +357,8 @@ class VLTaskTrainer(TaskTrainer):
                         log[f"{self.task_key}/ewc_loss"] = float(metrics["ewc_loss"])
                     wandb_logger.log(log)
                 if preempt and preemption_requested():
+                    if awriter is not None:  # keep file ordering, then save
+                        awriter.flush()      # synchronously — we exit next
                     save_train_state(
                         state,
                         {
@@ -355,7 +394,7 @@ class VLTaskTrainer(TaskTrainer):
                     self.best_epoch = epoch
                     best_params = jax.device_get(state.params)
                     if best_path and save_every:
-                        save_params(best_params, best_path)
+                        save_params(best_params, best_path, async_writer=awriter)
             if state_path and save_every and epoch % save_every == 0:
                 save_train_state(
                     state,
@@ -370,14 +409,13 @@ class VLTaskTrainer(TaskTrainer):
                         ),
                     },
                     state_path,
+                    async_writer=awriter,
                 )
 
         if best_params is None:  # no eval epochs hit — keep final params
             best_params = jax.device_get(state.params)
             best_score = self.eval(state.params, model)
-        if state_path and _os.path.exists(state_path):
-            _os.remove(state_path)  # task completed; the task ckpt supersedes
-        return best_score, model.with_params(best_params)
+        return best_score, best_params
 
     # -- evaluation ----------------------------------------------------------
     def eval(self, params, model: CLModel) -> float:

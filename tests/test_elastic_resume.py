@@ -151,3 +151,68 @@ def test_corrupt_elastic_state_restarts_task(tmp_path):
     assert 0.0 <= score <= 100.0
     # completed run cleaned up its elastic state as usual
     assert not (tmp_path / "train_state").exists()
+
+
+def test_async_checkpoint_writer_unit(tmp_path):
+    """Ordering per path, atomicity (tmp+rename), and error propagation."""
+    import os
+
+    from climb_tpu.ckpt.checkpoint import AsyncCheckpointWriter, load_params
+
+    w = AsyncCheckpointWriter()
+    p = str(tmp_path / "ckpt")
+    for i in range(4):  # successive writes to one path land in order
+        w.submit({"a": np.full((8,), i, np.float32)}, p)
+    w.flush()
+    assert load_params(p)["a"][0] == 3.0
+    assert not os.path.exists(p + ".tmp")  # rename consumed the temp file
+
+    # a writer failure surfaces at flush, not silently
+    w.submit({"a": np.zeros(2)}, "/proc/denied/ckpt")  # unwritable target
+    with pytest.raises(OSError):
+        w.flush()
+    w.close()
+
+
+def test_async_elastic_run_matches_sync(tmp_path):
+    """--async_checkpoint changes WHEN bytes hit disk, not what trains or
+    what resumes: the interrupted+resumed async run reproduces the sync
+    uninterrupted trajectory exactly, and its on-disk elastic files are
+    complete/loadable at every epoch boundary."""
+    sync_dir, async_dir = tmp_path / "sync", tmp_path / "async"
+    sync_dir.mkdir(), async_dir.mkdir()
+
+    args = make_args(sync_dir)
+    model = create_cl_model(args, task_configs)
+    score_sync, model_sync = _make_trainer(args).train(model)
+
+    args2 = make_args(async_dir, async_checkpoint=True)
+    model2 = create_cl_model(args2, task_configs)
+    trainer2 = _make_trainer(args2)
+    orig_eval = type(trainer2).eval
+    calls = {"n": 0}
+
+    def dying_eval(self, params, m):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise _Boom()
+        return orig_eval(self, params, m)
+
+    type(trainer2).eval = dying_eval
+    try:
+        with pytest.raises(_Boom):
+            trainer2.train(model2)
+    finally:
+        type(trainer2).eval = orig_eval
+    # the finally-path close() joined pending writes: state is complete NOW
+    assert (async_dir / "train_state").exists()
+    assert not (async_dir / "train_state.tmp").exists()
+
+    model3 = create_cl_model(args2, task_configs)
+    score_async, model_res = _make_trainer(args2).train(model3)
+    assert score_async == pytest.approx(score_sync, abs=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        model_sync.params,
+        model_res.params,
+    )
