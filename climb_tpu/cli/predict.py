@@ -63,6 +63,22 @@ def build_parser():
                              '{"text", "images": [a, b], "label"?}; '
                              'multi-choice {"choices": [...], "image", "label"?}.')
     parser.add_argument("--output_file", type=str, default="predictions.json")
+    parser.add_argument("--export_model", type=str, default=None,
+                        help="Instead of predicting, lower the loaded "
+                             "checkpoint's eval step with jax.export and "
+                             "write ONE portable serving artifact (StableHLO "
+                             "program + parameters + input signature) to "
+                             "this path, then exit. Serve it with "
+                             "--from_export (no model code needed).")
+    parser.add_argument("--export_platforms", type=str, default="tpu,cpu",
+                        help="Comma-separated lowering platforms for "
+                             "--export_model (default: tpu,cpu — one "
+                             "artifact serves both).")
+    parser.add_argument("--from_export", type=str, default=None,
+                        help="Serve a --export_model artifact: no encoder "
+                             "build, no checkpoint load — batch geometry, "
+                             "parameters, and the compiled program all come "
+                             "from the file.")
     parser.add_argument("--max_predictions", type=int, default=0,
                         help="Cap the prediction list in the output JSON "
                              "(0 = write all).")
@@ -88,6 +104,8 @@ def main(argv=None):
     assert args.task_key in args.ordered_cl_tasks, (
         f"--task_key {args.task_key} not in --ordered_cl_tasks"
     )
+    if args.from_export:
+        return _serve_from_export(args)
 
     from climb_tpu.ckpt import load_params, partial_load
     from climb_tpu.train import LOSS_TYPES, create_cl_model, get_task_trainer_class
@@ -142,14 +160,23 @@ def main(argv=None):
         model.module, args.task_key, LOSS_TYPES[args.task_key],
         model.cfg.compute_dtype, extra_vars=extra_vars,
     )
-    if args.input_jsonl:
-        return _predict_from_jsonl(args, model, eval_step)
+    if args.export_model:
+        return _do_export(args, model, trainer, eval_step)
 
+    def run_fn(batch):
+        return eval_step(model.params, batch)
+
+    if args.input_jsonl:
+        return _predict_from_jsonl(args, model, run_fn)
+    return _predict_dataset(args, model, trainer, run_fn)
+
+
+def _predict_dataset(args, model, trainer, run_fn):
     preds, total, count, n = [], 0.0, 0.0, 0
     t0 = None
     for batch in trainer.eval_dataloader:
         put = trainer._put(batch, model.mesh)
-        logits, s, c = eval_step(model.params, put)
+        logits, s, c = run_fn(put)
         if t0 is None:  # exclude compile time from throughput
             float(s)
             t0, n0 = time.perf_counter(), 0
@@ -237,7 +264,7 @@ def _jsonl_batches(args, model):
         yield chunk, {k: jnp.asarray(v) for k, v in batch.items()}
 
 
-def _predict_from_jsonl(args, model, eval_step):
+def _predict_from_jsonl(args, model, run_fn):
     """Serve raw JSONL inputs: one jitted forward per fixed-shape batch."""
     import jax.numpy as jnp
 
@@ -248,7 +275,7 @@ def _predict_from_jsonl(args, model, eval_step):
     for chunk, batch in _jsonl_batches(args, model):
         have_labels = have_labels and all(r.get("label") is not None for r in chunk)
         n_rows += len(chunk)
-        logits, s, c = eval_step(model.params, batch)
+        logits, s, c = run_fn(batch)
         if t0 is None:
             float(s)
             t0 = time.perf_counter()
@@ -272,6 +299,64 @@ def _predict_from_jsonl(args, model, eval_step):
                 args.task_key, n_rows, out["metric"], out["examples_per_sec"],
                 args.output_file)
     return out
+
+
+def _do_export(args, model, trainer, eval_step):
+    """--export_model: lower the eval step for a fixed batch signature and
+    write the single-file serving artifact (program + params + signature)."""
+    from climb_tpu.serve.export import export_eval_step, make_predict_meta
+    from climb_tpu.train import LOSS_TYPES
+
+    if args.input_jsonl:
+        _, batch = next(_jsonl_batches(args, model))
+    else:
+        batch = trainer._put(next(iter(trainer.eval_dataloader)), model.mesh)
+    spec = next(s for s in model.head_specs if s.task_key == args.task_key)
+    meta = make_predict_meta(model, args, spec, LOSS_TYPES[args.task_key])
+    # signature batch dim comes from the batch actually served (the eval
+    # loader may use --eval_batch_size), not the training batch size flag
+    meta["batch_size"] = int(np.shape(next(iter(batch.values())))[0])
+    platforms = tuple(p for p in args.export_platforms.split(",") if p)
+    meta = export_eval_step(
+        eval_step, model.params, batch, args.export_model, meta, platforms
+    )
+    return meta
+
+
+def _serve_from_export(args):
+    """--from_export: run predictions from an artifact alone — no encoder
+    build, no checkpoint; geometry and params come from the file."""
+    from climb_tpu.serve import ExportedModel
+    from climb_tpu.serve.export import predict_shim
+    from climb_tpu.train import get_task_trainer_class
+
+    exported = ExportedModel(args.from_export)
+    meta = exported.meta
+    if args.task_key != meta["task_key"]:
+        raise ValueError(
+            f"--task_key {args.task_key} != artifact task '{meta['task_key']}'"
+        )
+    # force the input geometry to the exported fixed-shape signature
+    args.batch_size = int(meta["batch_size"])
+    args.eval_batch_size = int(meta["batch_size"])
+    args.image_height = int(meta["image_height"])
+    args.image_width = int(meta["image_width"])
+    args.max_text_len = int(meta["max_text_len"])
+    for bucket_flag in ("aspect_buckets", "text_buckets"):
+        if getattr(args, bucket_flag, None):
+            logger.warning("--%s is incompatible with fixed-signature "
+                           "--from_export serving; disabled", bucket_flag)
+            setattr(args, bucket_flag, None)
+    args.checkpoint = args.from_export  # for the output-JSON provenance field
+    model = predict_shim(meta)
+
+    if args.input_jsonl:
+        return _predict_from_jsonl(args, model, exported)
+    trainer_cls = get_task_trainer_class(task_configs[args.task_key]["trainer"])
+    trainer = trainer_cls(
+        args, task_configs, model_config={"encoder_dim": int(meta["hidden_size"])}
+    )
+    return _predict_dataset(args, model, trainer, exported)
 
 
 if __name__ == "__main__":

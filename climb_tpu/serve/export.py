@@ -1,0 +1,217 @@
+"""AOT serving artifacts: a trained forward as one portable StableHLO file.
+
+The reference has no serving story at all — evaluation lives inside each
+task trainer's loop and every consumer needs the full modeling stack plus a
+checkpoint (reference train_snli_ve.py:246-266, vilt.py:481-514). This module
+goes beyond it with the TPU-native equivalent of a saved-model: the jitted
+eval step (device-side uint8 normalization, bf16/int8 compute, metric
+reduction — everything under the jit) is lowered once with ``jax.export`` for
+a fixed batch signature and serialized TOGETHER with the trained parameters
+into a single msgpack file. Serving then needs only jax + this file:
+
+- no model code, no flax module, no checkpoint surgery at serve time;
+- lowered for ``platforms=('tpu', 'cpu')`` by default, so the same artifact
+  runs on a TPU pod and on a CPU fallback box;
+- closure constants are baked in: an ``int8_static`` export carries its PTQ
+  calibration scales inside the program;
+- the input signature travels in the artifact and is validated per call with
+  actionable errors (serving bugs surface as shape messages, not XLA traces).
+
+Produced by ``climb_tpu.cli.predict --export_model PATH`` and consumed either
+by ``predict --from_export PATH`` or directly via :class:`ExportedModel`.
+"""
+
+import logging
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from flax import serialization
+
+try:  # jax >= 0.4.30 style
+    from jax import export as jax_export
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental import export as jax_export
+
+logger = logging.getLogger(__name__)
+
+FORMAT_VERSION = 1
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def _spec_tree(tree):
+    return jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), tree
+    )
+
+
+def export_eval_step(
+    eval_step,
+    params,
+    batch: dict,
+    path: str,
+    meta: dict,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> dict:
+    """Serialize ``eval_step(params, batch)`` + params into one file.
+
+    ``eval_step`` must be a ``jax.jit``-wrapped function of exactly
+    ``(params, batch)`` (what ``train_step.make_eval_step`` returns);
+    ``batch`` is a concrete example batch fixing the serving signature.
+    ``meta`` carries the processing config a parameter-free server needs
+    (canvas size, text length, head spec, tokenizer name, ...). Returns the
+    stored metadata dict (with the signature fields added).
+    """
+    host_params = _to_host(params)
+    host_batch = _to_host(batch)
+    exported = jax_export.export(eval_step, platforms=list(platforms))(
+        _spec_tree(host_params), _spec_tree(host_batch)
+    )
+    meta = dict(meta)
+    meta["format_version"] = FORMAT_VERSION
+    meta["jax_version"] = jax.__version__
+    meta["platforms"] = list(platforms)
+    meta["batch_spec"] = {
+        k: [list(np.shape(v)), np.asarray(v).dtype.name]
+        for k, v in host_batch.items()
+    }
+    payload = {
+        "stablehlo": bytes(exported.serialize()),
+        "params": serialization.to_state_dict(host_params),
+        "meta": meta,
+    }
+    blob = serialization.msgpack_serialize(payload)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    logger.info(
+        "Exported %s eval step (%d params tensors, platforms=%s, %d bytes) -> %s",
+        meta.get("task_key"), len(jax.tree_util.tree_leaves(host_params)),
+        ",".join(platforms), len(blob), path,
+    )
+    return meta
+
+
+class ExportedModel:
+    """Serve a :func:`export_eval_step` artifact.
+
+    ``__call__(batch)`` runs the embedded program with the embedded
+    parameters and returns whatever the exported eval step returned
+    (``(logits, metric_sum, metric_count)`` for predict exports). The batch
+    must match the exported signature; key/shape/dtype mismatches raise
+    ``ValueError`` with the expected signature spelled out.
+    """
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        meta = payload["meta"]
+        version = int(meta.get("format_version", -1))
+        if version != FORMAT_VERSION:
+            raise ValueError(
+                f"{path}: artifact format_version {version} != supported "
+                f"{FORMAT_VERSION} (re-export with this climb_tpu)"
+            )
+        self.meta = meta
+        self.params = payload["params"]
+        self._exported = jax_export.deserialize(bytearray(payload["stablehlo"]))
+        self.batch_spec = {
+            k: (tuple(shape), dtype)
+            for k, (shape, dtype) in meta["batch_spec"].items()
+        }
+
+    @property
+    def platforms(self):
+        return tuple(self.meta["platforms"])
+
+    def validate_batch(self, batch: dict) -> dict:
+        """Check keys/shapes/dtypes against the exported signature.
+
+        Extra keys are dropped (dataset loaders may attach side fields the
+        export never consumed); missing keys or mismatched shapes raise.
+        """
+        missing = sorted(set(self.batch_spec) - set(batch))
+        if missing:
+            raise ValueError(
+                f"exported model input(s) missing from batch: {missing}; "
+                f"expected signature: {self._signature_str()}"
+            )
+        out = {}
+        for k, (shape, dtype) in self.batch_spec.items():
+            v = batch[k]
+            got_shape = tuple(np.shape(v))
+            got_dtype = np.asarray(v).dtype.name if not hasattr(v, "dtype") else v.dtype.name
+            if got_shape != shape or got_dtype != dtype:
+                raise ValueError(
+                    f"batch['{k}'] is {got_dtype}{list(got_shape)}, but the "
+                    f"artifact was exported for {dtype}{list(shape)} "
+                    f"(fixed-shape serving; re-export for other shapes). "
+                    f"Full signature: {self._signature_str()}"
+                )
+            out[k] = v
+        return out
+
+    def _signature_str(self) -> str:
+        return ", ".join(
+            f"{k}: {dtype}{list(shape)}"
+            for k, (shape, dtype) in sorted(self.batch_spec.items())
+        )
+
+    def __call__(self, batch: dict):
+        return self._exported.call(self.params, self.validate_batch(batch))
+
+
+def make_predict_meta(model, args, spec, loss_type: str) -> dict:
+    """Collect everything ``predict --from_export`` needs to rebuild the
+    input pipeline without the model: canvas/tokenizer config + head spec."""
+    cfg = model.cfg
+    return {
+        "task_key": spec.task_key,
+        "loss_type": loss_type,
+        "model_type": spec.model_type,
+        "num_labels": int(spec.num_labels),
+        "num_images": int(spec.num_images),
+        "num_choices": int(spec.num_choices or 0),
+        "batch_size": int(args.batch_size),
+        "hidden_size": int(cfg.hidden_size),
+        "max_text_len": int(cfg.max_text_len),
+        "image_height": int(cfg.image_height),
+        "image_width": int(cfg.image_width),
+        "patch_size": int(cfg.patch_size),
+        "compute_dtype": str(cfg.compute_dtype),
+        "encoder_name": str(getattr(args, "encoder_name", "vilt")),
+        "dense_impl": str(getattr(args, "dense_impl", "xla") or "xla"),
+        "tokenizer": str(getattr(args, "tokenizer", "bert-base-uncased")),
+    }
+
+
+def predict_shim(meta) -> "object":
+    """A model-shaped stand-in for predict's input pipeline when serving
+    --from_export: only the fields the batch builders touch (cfg geometry,
+    the task head spec, mesh=None)."""
+    from types import SimpleNamespace
+
+    from climb_tpu.models.model_config import HeadSpec
+
+    spec = HeadSpec(
+        task_key=meta["task_key"],
+        model_type=meta["model_type"],
+        num_labels=int(meta["num_labels"]),
+        num_images=int(meta["num_images"]),
+        num_choices=int(meta["num_choices"]) or None,
+    )
+    cfg = SimpleNamespace(
+        hidden_size=int(meta["hidden_size"]),
+        max_text_len=int(meta["max_text_len"]),
+        image_height=int(meta["image_height"]),
+        image_width=int(meta["image_width"]),
+        patch_size=int(meta["patch_size"]),
+        compute_dtype=meta["compute_dtype"],
+    )
+    return SimpleNamespace(cfg=cfg, head_specs=(spec,), params=None, mesh=None)

@@ -1,0 +1,157 @@
+"""AOT serving artifacts (climb_tpu/serve/export.py): a jax.export-lowered
+eval step + trained params in one file must reproduce the live model's
+outputs exactly, validate its input signature, and drive the predict CLI
+end-to-end without any model build (--export_model / --from_export).
+
+The reference has no serving path at all (evaluation lives inside trainer
+loops, train_snli_ve.py:246-266) — this subsystem is beyond-reference."""
+
+import json
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+
+from climb_tpu.configs import task_configs
+from climb_tpu.train import LOSS_TYPES, create_cl_model
+from climb_tpu.train.train_step import make_eval_step
+
+
+def tiny_args(**kw):
+    base = dict(
+        batch_size=4,
+        seed=0,
+        synthetic=True,
+        tiny=True,
+        ordered_cl_tasks=["snli-ve"],
+        encoder_name="vilt",
+        pretrained_vilt_name="scratch",
+        image_height=64,
+        image_width=96,
+    )
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+def make_batch(cfg, bs=4, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "input_ids": rng.randint(1, cfg.vocab_size, (bs, cfg.max_text_len)).astype(np.int32),
+        "text_mask": np.ones((bs, cfg.max_text_len), np.float32),
+        "pixel_values": rng.randint(0, 255, (bs, cfg.image_height, cfg.image_width, 3)).astype(np.uint8),
+        "patch_hw": np.tile([[cfg.grid_h, cfg.grid_w]], (bs, 1)).astype(np.int32),
+        "labels": rng.randint(0, 3, (bs,)).astype(np.int32),
+    }
+
+
+def test_export_roundtrip_logits_match(tmp_path):
+    """Deserialize + call must equal the live jitted eval step bit-for-bit
+    (same program, same platform, same inputs)."""
+    from climb_tpu.serve import ExportedModel, export_eval_step
+
+    args = tiny_args()
+    model = create_cl_model(args, task_configs)
+    eval_step = make_eval_step(
+        model.module, "snli-ve", LOSS_TYPES["snli-ve"], model.cfg.compute_dtype
+    )
+    batch = make_batch(model.cfg)
+    want_logits, want_s, want_c = eval_step(model.params, batch)
+
+    path = str(tmp_path / "snli-ve.climbx")
+    meta = export_eval_step(
+        eval_step, model.params, batch, path,
+        {"task_key": "snli-ve", "batch_size": 4}, platforms=("tpu", "cpu"),
+    )
+    assert meta["platforms"] == ["tpu", "cpu"]
+    assert set(meta["batch_spec"]) == set(batch)
+
+    served = ExportedModel(path)
+    assert served.platforms == ("tpu", "cpu")
+    got_logits, got_s, got_c = served(batch)
+    np.testing.assert_array_equal(np.asarray(want_logits), np.asarray(got_logits))
+    assert float(want_s) == pytest.approx(float(got_s), abs=0)
+    assert float(want_c) == float(got_c)
+
+
+def test_exported_signature_validation(tmp_path):
+    from climb_tpu.serve import ExportedModel, export_eval_step
+
+    args = tiny_args()
+    model = create_cl_model(args, task_configs)
+    eval_step = make_eval_step(
+        model.module, "snli-ve", LOSS_TYPES["snli-ve"], model.cfg.compute_dtype
+    )
+    batch = make_batch(model.cfg)
+    path = str(tmp_path / "art")
+    export_eval_step(eval_step, model.params, batch, path, {"task_key": "snli-ve"})
+    served = ExportedModel(path)
+
+    # extra keys are dropped silently (loaders attach side fields)
+    extra = dict(batch, valid=np.ones((4,), np.float32))
+    served(extra)
+
+    # wrong batch size -> actionable error naming the expected signature
+    small = {k: v[:2] for k, v in batch.items()}
+    with pytest.raises(ValueError, match="pixel_values|input_ids"):
+        served(small)
+
+    # missing input -> error listing it
+    missing = {k: v for k, v in batch.items() if k != "text_mask"}
+    with pytest.raises(ValueError, match="text_mask"):
+        served(missing)
+
+
+def test_predict_cli_export_then_serve(tmp_path):
+    """End-to-end: train -> predict --export_model -> predict --from_export.
+    The served artifact must reproduce the live checkpoint's predictions and
+    metric exactly, with no encoder build or checkpoint load at serve time."""
+    from climb_tpu.cli.predict import main as predict_main
+    from climb_tpu.cli.train_upstream_continual_learning import main as upstream_main
+
+    base = [
+        "--encoder_name", "vilt",
+        "--pretrained_model_name", "scratch",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+    ]
+    upstream_main(base + ["--do_train"])
+    ckpt = (tmp_path / "vilt-singletask_ft-task0_snli-ve" / "checkpoints"
+            / "task0_snli-ve" / "model")
+
+    common = [
+        "--encoder_name", "vilt",
+        "--ordered_cl_tasks", "snli-ve",
+        "--task_key", "snli-ve",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--pretrained_model_name", "scratch",
+    ]
+
+    live_out = tmp_path / "live.json"
+    predict_main(common + ["--checkpoint", str(ckpt), "--output_file", str(live_out)])
+
+    artifact = tmp_path / "snli-ve.climbx"
+    meta = predict_main(common + [
+        "--checkpoint", str(ckpt), "--export_model", str(artifact),
+    ])
+    assert artifact.exists()
+    assert meta["task_key"] == "snli-ve"
+
+    served_out = tmp_path / "served.json"
+    predict_main(common + [
+        "--from_export", str(artifact), "--output_file", str(served_out),
+    ])
+
+    live = json.loads(live_out.read_text())
+    served = json.loads(served_out.read_text())
+    assert served["predictions"] == live["predictions"]
+    assert served["metric"] == pytest.approx(live["metric"], abs=1e-9)
+    assert served["n_examples"] == live["n_examples"]
