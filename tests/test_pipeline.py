@@ -175,3 +175,122 @@ def test_pipeline_composes_with_data_parallelism(rng):
         _mlp_block, params, inputs, n_micro=2, mesh=mesh, batch_axis="data"
     )
     np.testing.assert_allclose(got["x"], want["x"], rtol=1e-6, atol=1e-6)
+
+
+# ---- circular / interleaved virtual stages (n_virtual > 1) ----------------
+
+def _stacked(rng, l, d=D):
+    return {
+        "w": jnp.asarray(rng.randn(l, d, d) * 0.3, jnp.float32),
+        "b": jnp.asarray(rng.randn(l, d) * 0.1, jnp.float32),
+    }
+
+
+@pytest.mark.parametrize(
+    "n_stages,n_virtual,n_micro,layers",
+    [(2, 2, 4, 8), (4, 2, 8, 8), (2, 4, 2, 8), (4, 3, 4, 24), (2, 2, 5, 8)],
+)
+def test_circular_pipeline_matches_sequential(rng, n_stages, n_virtual, n_micro, layers):
+    """V>1 sends each microbatch around the ring V times, one layer chunk per
+    hop; the result must equal the plain sequential stack (params pre-laid
+    out with interleave_for_pipeline)."""
+    from climb_tpu.parallel.pipeline import interleave_for_pipeline
+
+    mesh = make_pipe_mesh(n_stages)
+    params = _stacked(rng, layers)
+    batch = 2 * n_micro
+    inputs = {
+        "x": jnp.asarray(rng.randn(batch, D), jnp.float32),
+        "scale": jnp.asarray(rng.rand(batch) + 0.5, jnp.float32),
+    }
+    want = _sequential(params, inputs)
+    laid_out = interleave_for_pipeline(params, n_stages, n_virtual)
+    got = pipeline_layers(
+        _mlp_block, laid_out, inputs, n_micro, mesh, n_virtual=n_virtual
+    )
+    np.testing.assert_allclose(got["x"], want["x"], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got["scale"], inputs["scale"], rtol=1e-6)
+
+
+def test_circular_pipeline_gradients_match_sequential(rng):
+    """Gradients flow through injection masks, chunk selection, the masked
+    output writes, AND the interleave gather back to original layer order."""
+    from climb_tpu.parallel.pipeline import interleave_for_pipeline
+
+    mesh = make_pipe_mesh(4)
+    params = _stacked(rng, 8)
+    inputs = {
+        "x": jnp.asarray(rng.randn(8, D), jnp.float32),
+        "scale": jnp.ones((8,), jnp.float32),
+    }
+
+    def loss_pipe(p):
+        laid_out = interleave_for_pipeline(p, 4, 2)
+        out = pipeline_layers(_mlp_block, laid_out, inputs, 4, mesh, n_virtual=2)
+        return (out["x"] ** 2).sum()
+
+    def loss_seq(p):
+        return (_sequential(p, inputs)["x"] ** 2).sum()
+
+    g_pipe = jax.grad(loss_pipe)(params)
+    g_seq = jax.grad(loss_seq)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5),
+        g_pipe,
+        g_seq,
+    )
+
+
+def test_pipeline_schedule_collision_free_and_complete():
+    """Pure schedule property check over a grid of (M, P, V): every
+    microbatch is injected once, visits all V*P virtual stages in order with
+    no two microbatches on one device at one tick, and completes exactly at
+    its out_ok slot."""
+    from climb_tpu.parallel.pipeline import pipeline_schedule
+
+    for P in (2, 3, 4, 8):
+        for V in (1, 2, 3):
+            for M in (1, 2, P - 1, P, P + 1, 2 * P, 3 * P + 1):
+                if M < 1:
+                    continue
+                VP = V * P
+                n_ticks, s = pipeline_schedule(M, P, V)
+                # injections: exactly M, at tau_j = (j//P)*VP + j%P, in order
+                inj_ticks = [t for t in range(n_ticks) if s["inj_ok"][t]]
+                assert [int(s["inj_idx"][t]) for t in inj_ticks] == list(range(M))
+                taus = {int(s["inj_idx"][t]): t for t in inj_ticks}
+                assert all(
+                    taus[j] == (j // P) * VP + j % P for j in range(M)
+                )
+                # device occupancy: microbatch j sits on device k%P at tick
+                # tau_j+k for k in [0, VP) — no collisions anywhere
+                occupied = {}
+                for j in range(M):
+                    for k in range(VP):
+                        key = (taus[j] + k, (k % P))
+                        assert key not in occupied, (P, V, M, key)
+                        occupied[key] = j
+                # outputs: exactly M, microbatch j at tick tau_j + VP - 1
+                out_ticks = [t for t in range(n_ticks) if s["out_ok"][t]]
+                assert len(out_ticks) == M
+                for t in out_ticks:
+                    j = int(s["out_idx"][t])
+                    assert t == taus[j] + VP - 1
+
+
+def test_circular_schedule_shrinks_bubble():
+    """The V-fold bubble claim, on the schedule itself: total cost in
+    layer-applications per device = n_ticks * L/(V*P); at M % P == 0 the
+    circular schedule strictly beats GPipe and approaches the ideal M*L/P."""
+    from climb_tpu.parallel.pipeline import pipeline_schedule
+
+    L, P, M = 48, 4, 8
+    ideal = M * L / P
+    costs = {}
+    for V in (1, 2, 4):
+        n_ticks, _ = pipeline_schedule(M, P, V)
+        costs[V] = n_ticks * L / (V * P)
+    assert costs[1] > costs[2] > costs[4] > ideal
+    # exact bubble fractions: (P-1)/(V*M + P-1)
+    for V, cost in costs.items():
+        assert cost == pytest.approx(ideal * (1 + (P - 1) / (V * M)))
