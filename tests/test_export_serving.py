@@ -155,3 +155,54 @@ def test_predict_cli_export_then_serve(tmp_path):
     assert served["predictions"] == live["predictions"]
     assert served["metric"] == pytest.approx(live["metric"], abs=1e-9)
     assert served["n_examples"] == live["n_examples"]
+
+
+def test_export_int8_static_bakes_ptq_scales(tmp_path):
+    """An int8_static export must carry its PTQ calibration inside the
+    program (extra_vars are closure constants at lowering time): the served
+    artifact equals the live int8 eval step, and differs from a bf16 export
+    of the same params."""
+    from climb_tpu.models import HeadSpec, ViltContinualLearner
+    from climb_tpu.models.model_config import ViltConfig
+    from climb_tpu.serve import ExportedModel, export_eval_step
+    from climb_tpu.train.train_step import calibrate_quant_scales
+
+    cfg = ViltConfig(
+        vocab_size=100, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, image_height=64, image_width=96,
+        patch_size=32, pretrain_image_size=64,
+    )
+    cfg_q = cfg.replace(dense_impl="int8_static")
+    specs = (HeadSpec("snli-ve", "classification", 3),)
+    model_q = ViltContinualLearner(cfg_q, specs)
+
+    def mk_batch(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "input_ids": r.randint(1, 100, (4, cfg.max_text_len)).astype(np.int32),
+            "text_mask": np.ones((4, cfg.max_text_len), np.float32),
+            "pixel_values": r.randint(0, 255, (4, 64, 96, 3)).astype(np.uint8),
+            "patch_hw": np.tile([[cfg.grid_h, cfg.grid_w]], (4, 1)).astype(np.int32),
+            "labels": r.randint(0, 3, (4,)).astype(np.int32),
+        }
+
+    params = ViltContinualLearner(cfg, specs).init(
+        jax.random.PRNGKey(0), mk_batch(0), method=ViltContinualLearner.init_all
+    )["params"]
+    qcol = calibrate_quant_scales(model_q, "snli-ve", params, [mk_batch(1), mk_batch(2)])
+
+    step_q = make_eval_step(model_q, "snli-ve", "ce", extra_vars={"quant": qcol})
+    batch = mk_batch(3)
+    want, _, _ = step_q(params, batch)
+
+    path = str(tmp_path / "int8.climbx")
+    export_eval_step(step_q, params, batch, path,
+                     {"task_key": "snli-ve", "dense_impl": "int8_static"})
+    got, _, _ = ExportedModel(path)(batch)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    # sanity: the bf16 program of the same params is a different function
+    model_bf = ViltContinualLearner(cfg, specs)
+    step_bf = make_eval_step(model_bf, "snli-ve", "ce")
+    bf_logits, _, _ = step_bf(params, batch)
+    assert not np.array_equal(np.asarray(bf_logits), np.asarray(got))
