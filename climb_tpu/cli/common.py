@@ -67,7 +67,10 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                              "(fully fusable — the fast serving mode; "
                              "predict calibrates automatically, see "
                              "--quant_calibration_batches). Training steps "
-                             "always use 'xla'.")
+                             "always use 'xla'; an int8_static forward with "
+                             "no calibration available (e.g. the per-epoch "
+                             "eval inside a training run) falls back to "
+                             "dynamic 'int8'.")
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize encoder blocks (trade FLOPs for HBM).")
     parser.add_argument("--remat_policy", type=str, default="full",

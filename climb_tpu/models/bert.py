@@ -53,23 +53,14 @@ class BertLayer(nn.Module):
         b, s, d = x.shape
         if cfg.dense_impl in ("int8", "int8_static") and self.deterministic:
             from climb_tpu.models.vilt_core import _DenseParams
-            from climb_tpu.ops.quant import int8_dense, int8_dense_static
+            from climb_tpu.ops.quant import module_int8_dense
 
             def dense(feats, name):
                 def f(h):
                     kk, bb = _DenseParams(h.shape[-1], feats, name=name)()
-                    if cfg.dense_impl == "int8":
-                        return int8_dense(h, kk, bb, out_dtype=dtype)
-                    amax = self.variable(
-                        "quant", f"{name}_amax",
-                        lambda: jnp.zeros((), jnp.float32),
+                    return module_int8_dense(
+                        self, h, kk, bb, name, cfg.dense_impl, dtype
                     )
-                    if self.is_mutable_collection("quant"):
-                        amax.value = jnp.maximum(
-                            amax.value, jnp.max(jnp.abs(h)).astype(jnp.float32)
-                        )
-                        return (h @ kk.astype(dtype) + bb.astype(dtype)).astype(dtype)
-                    return int8_dense_static(h, kk, bb, amax.value, out_dtype=dtype)
 
                 return f
         else:

@@ -131,22 +131,13 @@ class ViltBlock(nn.Module):
         cfg = self.cfg
         dtype = cfg.compute_dtype
         if cfg.dense_impl in ("int8", "int8_static") and deterministic:
-            from climb_tpu.ops.quant import int8_dense, int8_dense_static
+            from climb_tpu.ops.quant import module_int8_dense
 
             def f(h):
                 k, b = _DenseParams(h.shape[-1], feats, name=name)()
-                if cfg.dense_impl == "int8":
-                    return int8_dense(h, k, b, out_dtype=dtype)
-                amax = self.variable(
-                    "quant", f"{name}_amax", lambda: jnp.zeros((), jnp.float32)
+                return module_int8_dense(
+                    self, h, k, b, name, cfg.dense_impl, dtype
                 )
-                if self.is_mutable_collection("quant"):
-                    # PTQ calibration pass: record ranges, compute in bf16
-                    amax.value = jnp.maximum(
-                        amax.value, jnp.max(jnp.abs(h)).astype(jnp.float32)
-                    )
-                    return (h @ k.astype(dtype) + b.astype(dtype)).astype(dtype)
-                return int8_dense_static(h, k, b, amax.value, out_dtype=dtype)
 
             return f
         return nn.Dense(feats, dtype=dtype, name=name)
@@ -397,28 +388,14 @@ class ViltCore(nn.Module):
         grid_w = pixel_values.shape[2] // cfg.patch_size
         patches = patchify(pixel_values.astype(dtype), cfg.patch_size)
         if cfg.dense_impl in ("int8", "int8_static") and deterministic:
-            from climb_tpu.ops.quant import int8_dense, int8_dense_static
+            from climb_tpu.ops.quant import module_int8_dense
 
             pk, pb = _DenseParams(
                 patches.shape[-1], d, name="patch_projection"
             )()
-            if cfg.dense_impl == "int8":
-                proj = int8_dense(patches, pk, pb, out_dtype=dtype)
-            else:
-                amax = self.variable(
-                    "quant", "patch_projection_amax",
-                    lambda: jnp.zeros((), jnp.float32),
-                )
-                if self.is_mutable_collection("quant"):
-                    amax.value = jnp.maximum(
-                        amax.value,
-                        jnp.max(jnp.abs(patches)).astype(jnp.float32),
-                    )
-                    proj = (patches @ pk.astype(dtype) + pb.astype(dtype)).astype(dtype)
-                else:
-                    proj = int8_dense_static(
-                        patches, pk, pb, amax.value, out_dtype=dtype
-                    )
+            proj = module_int8_dense(
+                self, patches, pk, pb, "patch_projection", cfg.dense_impl, dtype
+            )
         else:
             proj = nn.Dense(d, dtype=dtype, name="patch_projection")(patches)
         vis_pos = self.param(

@@ -101,3 +101,37 @@ def int8_dense_static(a: jax.Array, w: jax.Array, bias, amax, out_dtype=None):
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(out_dtype or a.dtype)
+
+
+def module_int8_dense(module, h, kernel, bias, name, dense_impl, out_dtype):
+    """The quantized-dense apply shared by every encoder call site
+    (ViltBlock._dense, the patch projection, BertLayer): routes between
+    dynamic int8, PTQ calibration recording, and calibrated static int8
+    based on `dense_impl` and the state of the module's 'quant' collection.
+
+    Semantics:
+    - 'int8': dynamic per-row activation scales — no state needed.
+    - 'int8_static' with the 'quant' collection MUTABLE (calibration pass):
+      record the running activation abs-max, compute in the normal dtype.
+    - 'int8_static' with a calibrated 'quant' collection provided: static
+      per-tensor scales (the fast fully-fused serving mode).
+    - 'int8_static' with NO calibration available (e.g. the per-epoch eval
+      inside a training run, where nothing has calibrated scales yet):
+      fall back to dynamic int8 instead of crashing — deterministic, needs
+      no state, and matches the user's intent of int8 eval.
+    """
+    if dense_impl == "int8":
+        return int8_dense(h, kernel, bias, out_dtype=out_dtype)
+    var_name = f"{name}_amax"
+    if module.is_mutable_collection("quant"):
+        amax = module.variable("quant", var_name, lambda: jnp.zeros((), jnp.float32))
+        amax.value = jnp.maximum(
+            amax.value, jnp.max(jnp.abs(h)).astype(jnp.float32)
+        )
+        return (
+            h @ kernel.astype(out_dtype) + bias.astype(out_dtype)
+        ).astype(out_dtype)
+    if not module.has_variable("quant", var_name):
+        return int8_dense(h, kernel, bias, out_dtype=out_dtype)
+    amax = module.variable("quant", var_name, lambda: jnp.zeros((), jnp.float32))
+    return int8_dense_static(h, kernel, bias, amax.value, out_dtype=out_dtype)

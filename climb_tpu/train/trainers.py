@@ -298,12 +298,20 @@ class VLTaskTrainer(TaskTrainer):
                 save_every, state_path, best_path, awriter,
                 device_prefetch, save_params, save_train_state,
             )
-        finally:
+        except BaseException:
+            # join pending writes even on failure/preemption so files on
+            # disk are complete before any reader (or retry) sees them — but
+            # never let a stale writer error MASK the original exception
+            # (incl. the SIGTERM SystemExit(143) the orchestrator watches for)
             if awriter is not None:
-                # join pending writes even on failure/preemption so files on
-                # disk are complete before any reader (or retry) sees them;
-                # re-raises writer errors on the clean path
-                awriter.close()
+                try:
+                    awriter.close()
+                except Exception:
+                    logger.exception("async checkpoint writer failed during "
+                                     "teardown (original error propagates)")
+            raise
+        if awriter is not None:
+            awriter.close()  # clean path: re-raises any writer error
         if state_path and _os.path.exists(state_path):
             _os.remove(state_path)  # task completed; the task ckpt supersedes
         return best_score, model.with_params(best_params)
@@ -358,7 +366,13 @@ class VLTaskTrainer(TaskTrainer):
                     wandb_logger.log(log)
                 if preempt and preemption_requested():
                     if awriter is not None:  # keep file ordering, then save
-                        awriter.flush()      # synchronously — we exit next
+                        try:                 # synchronously — we exit next
+                            awriter.flush()
+                        except Exception:
+                            # an EARLIER failed async write must not abort
+                            # the at-preemption save (the one that matters)
+                            logger.exception("async writer error surfaced at "
+                                             "preemption; saving state anyway")
                     save_train_state(
                         state,
                         {

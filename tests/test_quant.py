@@ -223,3 +223,29 @@ def test_int8_static_calibrate_then_serve(tiny_cfg, rng):
     logits_q, _, _ = step_q(params, batch)
     cc = np.corrcoef(np.asarray(logits).ravel(), np.asarray(logits_q).ravel())[0, 1]
     assert cc > 0.98
+
+
+def test_int8_static_training_run_eval_does_not_crash(tmp_path):
+    """--dense_impl int8_static on a TRAINING driver: train steps are xla
+    (non-deterministic forward), and the per-epoch eval — which has no PTQ
+    calibration — must fall back to dynamic int8 instead of dying on the
+    missing 'quant' collection (ops/quant.py::module_int8_dense)."""
+    from climb_tpu.cli.train_upstream_continual_learning import main as upstream_main
+
+    result_dir = upstream_main([
+        "--encoder_name", "vilt",
+        "--pretrained_model_name", "scratch",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+        "--dense_impl", "int8_static",
+        "--do_train",
+    ])
+    import os
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "vilt-singletask_ft-task0_snli-ve",
+                     "results.json")
+    )
