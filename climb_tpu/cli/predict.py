@@ -106,6 +106,15 @@ def main(argv=None):
     )
     if args.from_export:
         return _serve_from_export(args)
+    if args.export_model:
+        # an exported artifact has ONE fixed input signature; a bucketed
+        # loader would export whichever cropped shape its first batch has —
+        # unservable by --from_export (which forces the full geometry)
+        for bucket_flag in ("aspect_buckets", "text_buckets"):
+            if getattr(args, bucket_flag, None):
+                logger.warning("--%s is incompatible with fixed-signature "
+                               "--export_model; disabled", bucket_flag)
+                setattr(args, bucket_flag, None)
 
     from climb_tpu.ckpt import load_params, partial_load
     from climb_tpu.train import LOSS_TYPES, create_cl_model, get_task_trainer_class
@@ -143,14 +152,19 @@ def main(argv=None):
         from climb_tpu.train.train_step import calibrate_quant_scales
 
         if args.input_jsonl:
-            gen = (b for _, b in _jsonl_batches(args, model))
+            src = _jsonl_batches(args, model)
+            gen = (b for _, b in src)
         else:
-            gen = (trainer._put(b, model.mesh) for b in trainer.eval_dataloader)
+            src = iter(trainer.eval_dataloader)
+            gen = (trainer._put(b, model.mesh) for b in src)
         quant_col = calibrate_quant_scales(
             model.module, args.task_key, model.params,
             itertools.islice(gen, max(1, args.quant_calibration_batches)),
             model.cfg.compute_dtype,
         )
+        # islice abandons the stream mid-epoch: close it so the loader's
+        # producer threads stop instead of prefetching for the whole run
+        src.close()
         n_scales = len(jax.tree_util.tree_leaves(quant_col))
         logger.info("PTQ calibration: %d batches -> %d activation-range tensors",
                     args.quant_calibration_batches, n_scales)
@@ -172,6 +186,11 @@ def main(argv=None):
 
 
 def _predict_dataset(args, model, trainer, run_fn):
+    # bucketing (aspect/text) permutes the batch stream relative to dataset
+    # order; capture the emission order so predictions can be inverted back
+    # to example order (the output contract is predictions[i] == example i)
+    loader = trainer.eval_dataloader
+    order = loader.example_order() if loader.is_bucketed else None
     preds, total, count, n = [], 0.0, 0.0, 0
     t0 = None
     for batch in trainer.eval_dataloader:
@@ -189,6 +208,12 @@ def _predict_dataset(args, model, trainer, run_fn):
         count += float(c)
         n += int(valid.sum())
     elapsed = max(time.perf_counter() - (t0 or time.perf_counter()), 1e-9)
+    if order is not None:
+        assert len(preds) == len(order), (len(preds), len(order))
+        inverted = [0] * len(preds)
+        for pos, ds_idx in enumerate(order):
+            inverted[int(ds_idx)] = preds[pos]
+        preds = inverted
     score = 100.0 * total / max(count, 1.0)
     ex_s = n / elapsed
 
@@ -308,9 +333,12 @@ def _do_export(args, model, trainer, eval_step):
     from climb_tpu.train import LOSS_TYPES
 
     if args.input_jsonl:
-        _, batch = next(_jsonl_batches(args, model))
+        src = _jsonl_batches(args, model)
+        _, batch = next(src)
     else:
-        batch = trainer._put(next(iter(trainer.eval_dataloader)), model.mesh)
+        src = iter(trainer.eval_dataloader)
+        batch = trainer._put(next(src), model.mesh)
+    src.close()  # one example batch fixes the signature; stop the producer
     spec = next(s for s in model.head_specs if s.task_key == args.task_key)
     meta = make_predict_meta(model, args, spec, LOSS_TYPES[args.task_key])
     # signature batch dim comes from the batch actually served (the eval

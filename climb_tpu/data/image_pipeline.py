@@ -17,7 +17,6 @@ height <= 384 (proportionally fewer patches). A C++ fast path lives in
 ``climb_tpu.native``.
 """
 
-import os
 from typing import Tuple
 
 import numpy as np
@@ -88,16 +87,12 @@ def predict_canvas_widths(paths_per_example, canvas_hw, cache_path=None,
     unreadable headers conservatively claim the full canvas. ``memo`` (a
     path->dims dict) is updated in place; new entries are persisted to
     ``cache_path`` when given."""
-    import pickle
+    from climb_tpu.data.cache import load_pickle_cache, save_pickle_cache
 
     if memo is None:
         memo = {}
-    if cache_path and not memo and os.path.exists(cache_path):
-        try:
-            with open(cache_path, "rb") as f:
-                memo.update(pickle.load(f))
-        except Exception:
-            pass
+    if cache_path and not memo:
+        memo.update(load_pickle_cache(cache_path, tolerant=True) or {})
     ch, cw = canvas_hw
     new = 0
     widths = np.empty((len(paths_per_example),), np.int64)
@@ -115,12 +110,7 @@ def predict_canvas_widths(paths_per_example, canvas_hw, cache_path=None,
                 w = max(w, nw)
         widths[i] = w
     if new and cache_path:
-        try:
-            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-            with open(cache_path, "wb") as f:
-                pickle.dump(memo, f)
-        except OSError:
-            pass
+        save_pickle_cache(cache_path, memo)
     return widths
 
 

@@ -253,6 +253,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.epoch = epoch
         self.skip = 0
+        self._len_cache = (None, 0)  # (epoch, bucketed batch count)
         assert worker_mode in ("thread", "process"), worker_mode
         if worker_mode == "process" and "fork" not in multiprocessing.get_all_start_methods():
             worker_mode = "thread"
@@ -303,11 +304,31 @@ class DataLoader:
 
     def __len__(self):
         if self.bucket_widths is not None or self.text_bucket_lens is not None:
-            return len(self._index_batches())
+            # per-epoch batch count varies with drop_last=False (trailing
+            # per-bucket partials depend on the shuffle); cache per epoch —
+            # the walk is O(dataset) index math
+            if self._len_cache[0] != self.epoch:
+                self._len_cache = (self.epoch, len(self._index_batches()))
+            return self._len_cache[1]
         n = len(self.dataset)
+        if self.host_count > 1:
+            n = len(range(self.host_id, n, self.host_count))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def is_bucketed(self) -> bool:
+        return self.bucket_widths is not None or self.text_bucket_lens is not None
+
+    def example_order(self) -> "np.ndarray":
+        """Dataset indices in the order this epoch's batches emit them
+        (valid rows only — padding is excluded). Bucketing permutes the
+        stream relative to dataset order; consumers that must align
+        per-example outputs with dataset order (predict) invert this."""
+        return np.concatenate(
+            [inds for inds, _, _ in self._index_batches()]
+        ) if len(self.dataset) else np.zeros((0,), np.int64)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch

@@ -158,17 +158,11 @@ class VLDatasetBase:
         return lens
 
 
-def _load_cache(path):
-    if os.path.exists(path):
-        with open(path, "rb") as f:
-            return pickle.load(f)
-    return None
-
-
-def _save_cache(path, data):
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
-        pickle.dump(data, f)
+# one shared pickle-cache implementation (atomic writes) — climb_tpu/data/cache.py
+from climb_tpu.data.cache import (  # noqa: E402
+    load_pickle_cache as _load_cache,
+    save_pickle_cache as _save_cache,
+)
 
 
 class VQADataset(VLDatasetBase):

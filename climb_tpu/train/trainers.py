@@ -85,7 +85,18 @@ class VLTaskTrainer(TaskTrainer):
 
         self.rng = jax.random.PRNGKey(getattr(args, "seed", 42))
         self._build_datasets()
-        self.max_steps = len(self.train_dataloader) * self.num_epochs
+        if self.train_dataloader.is_bucketed and not self.train_dataloader.drop_last:
+            # bucketed batch counts vary per epoch (trailing per-bucket
+            # partials depend on that epoch's shuffle) — sum them exactly so
+            # the LR schedule's decay tail lands on the true final step
+            saved_epoch = self.train_dataloader.epoch
+            self.max_steps = 0
+            for e in range(1, self.num_epochs + 1):
+                self.train_dataloader.set_epoch(e)
+                self.max_steps += len(self.train_dataloader)
+            self.train_dataloader.set_epoch(saved_epoch)
+        else:
+            self.max_steps = len(self.train_dataloader) * self.num_epochs
 
     # -- data ----------------------------------------------------------------
     def _build_datasets(self):

@@ -204,3 +204,52 @@ def test_parse_text_buckets():
     assert parse_text_buckets("auto", 20) == (16, 20)
     assert parse_text_buckets("16,32", 40) == (16, 32, 40)  # max always kept
     assert parse_text_buckets((8, 60), 40) == (8, 40)  # capped at max
+
+
+def test_predict_bucketed_predictions_align_with_dataset_order(tmp_path):
+    """Bucketing permutes the eval batch stream; predict must invert the
+    permutation so predictions[i] is example i (regression: bucketed
+    predictions used to be in bucket-emission order)."""
+    import json
+
+    from climb_tpu.cli.predict import main as predict_main
+    from climb_tpu.cli.train_upstream_continual_learning import main as upstream_main
+
+    base = [
+        "--encoder_name", "vilt",
+        "--pretrained_model_name", "scratch",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "24",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+    ]
+    upstream_main(base + ["--do_train"])
+    ckpt = str(tmp_path / "vilt-singletask_ft-task0_snli-ve" / "checkpoints"
+               / "task0_snli-ve" / "model")
+
+    common = [
+        "--encoder_name", "vilt",
+        "--ordered_cl_tasks", "snli-ve",
+        "--task_key", "snli-ve",
+        "--checkpoint", ckpt,
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "24",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--pretrained_model_name", "scratch",
+    ]
+    plain_out = tmp_path / "plain.json"
+    predict_main(common + ["--output_file", str(plain_out)])
+    bucketed_out = tmp_path / "bucketed.json"
+    predict_main(common + ["--text_buckets", "8,16,40",
+                           "--output_file", str(bucketed_out)])
+
+    plain = json.loads(plain_out.read_text())
+    bucketed = json.loads(bucketed_out.read_text())
+    assert bucketed["n_examples"] == plain["n_examples"]
+    # same examples, same model, same compute dtype -> identical predictions
+    # in the SAME (dataset) order
+    assert bucketed["predictions"] == plain["predictions"]
+    assert bucketed["metric"] == pytest.approx(plain["metric"], abs=1e-6)
