@@ -7,6 +7,7 @@ The reference has no serving path at all (evaluation lives inside trainer
 loops, train_snli_ve.py:246-266) — this subsystem is beyond-reference."""
 
 import json
+import os
 from types import SimpleNamespace
 
 import numpy as np
@@ -206,3 +207,53 @@ def test_export_int8_static_bakes_ptq_scales(tmp_path):
     step_bf = make_eval_step(model_bf, "snli-ve", "ce")
     bf_logits, _, _ = step_bf(params, batch)
     assert not np.array_equal(np.asarray(bf_logits), np.asarray(got))
+
+
+def test_serving_needs_no_model_code(tmp_path):
+    """The artifact is self-contained: a fresh process serves it having
+    imported ONLY climb_tpu.serve — no modeling, training, or data modules
+    (the 'no model code at serve time' claim in docs/SERVING.md)."""
+    import pickle
+    import subprocess
+    import sys
+    import textwrap
+
+    from climb_tpu.serve import export_eval_step
+
+    args = tiny_args()
+    model = create_cl_model(args, task_configs)
+    eval_step = make_eval_step(
+        model.module, "snli-ve", LOSS_TYPES["snli-ve"], model.cfg.compute_dtype
+    )
+    batch = make_batch(model.cfg)
+    want_logits, _, _ = eval_step(model.params, batch)
+    path = str(tmp_path / "art")
+    export_eval_step(eval_step, model.params, batch, path, {"task_key": "snli-ve"})
+    with open(tmp_path / "batch.pkl", "wb") as f:
+        pickle.dump({k: np.asarray(v) for k, v in batch.items()}, f)
+
+    code = textwrap.dedent(f"""
+        import os, pickle, sys
+        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \\
+            " --xla_force_host_platform_device_count=1"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        from climb_tpu.serve import ExportedModel
+        m = ExportedModel({str(path)!r})
+        with open({str(tmp_path / 'batch.pkl')!r}, "rb") as f:
+            batch = pickle.load(f)
+        logits, s, c = m(batch)
+        loaded = sorted(k for k in sys.modules if k.startswith("climb_tpu"))
+        assert loaded == ["climb_tpu", "climb_tpu.serve", "climb_tpu.serve.export"], loaded
+        np.save({str(tmp_path / 'logits.npy')!r}, np.asarray(logits))
+        print("ok")
+    """)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ok" in r.stdout
+    got = np.load(tmp_path / "logits.npy")
+    np.testing.assert_array_equal(np.asarray(want_logits), got)
