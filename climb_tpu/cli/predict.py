@@ -125,7 +125,16 @@ def main(argv=None):
         from climb_tpu.cl.adapters import AdapterHandler
 
         adapter_handler = AdapterHandler(adapter_method=args.adapter_method, args=args)
-    model = create_cl_model(args, task_configs, adapter_handler=adapter_handler)
+    mesh = None
+    if getattr(args, "use_mesh", False) and len(jax.devices()) > 1:
+        # data-parallel serving: batches shard over the ('data','model')
+        # mesh exactly as the training drivers' eval does
+        from climb_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_model=getattr(args, "n_model", 1))
+        logger.info("Serving over mesh %s", dict(mesh.shape))
+    model = create_cl_model(args, task_configs, adapter_handler=adapter_handler,
+                            mesh=mesh)
     if args.checkpoint and os.path.isfile(args.checkpoint):
         ckpt = load_params(args.checkpoint)
         merged, loaded, missing = partial_load(model.params, ckpt)

@@ -289,3 +289,46 @@ def test_predict_from_raw_jsonl(tmp_path):
     ])
     assert result2["metric"] is None
     assert result2["predictions"] == result["predictions"]
+
+
+def test_predict_cli_use_mesh_matches_single_device(tmp_path):
+    """--use_mesh serves data-parallel over the 8-device CPU mesh with the
+    same predictions and metric as the single-device path."""
+    import json as _json
+
+    from climb_tpu.cli.predict import main as predict_main
+    from climb_tpu.cli.train_upstream_continual_learning import main as upstream_main
+
+    base = [
+        "--encoder_name", "vilt",
+        "--pretrained_model_name", "scratch",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+    ]
+    upstream_main(base + ["--do_train"])
+    ckpt = str(tmp_path / "vilt-singletask_ft-task0_snli-ve" / "checkpoints"
+               / "task0_snli-ve" / "model")
+    common = [
+        "--encoder_name", "vilt",
+        "--ordered_cl_tasks", "snli-ve",
+        "--task_key", "snli-ve",
+        "--checkpoint", ckpt,
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--pretrained_model_name", "scratch",
+    ]
+    single_out = tmp_path / "single.json"
+    predict_main(common + ["--output_file", str(single_out)])
+    mesh_out = tmp_path / "mesh.json"
+    predict_main(common + ["--use_mesh", "--output_file", str(mesh_out)])
+
+    single = _json.loads(single_out.read_text())
+    meshed = _json.loads(mesh_out.read_text())
+    assert meshed["predictions"] == single["predictions"]
+    assert meshed["metric"] == pytest.approx(single["metric"], abs=1e-5)
