@@ -158,6 +158,11 @@ def add_tpu_args(parser: argparse.ArgumentParser):
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Capture a jax.profiler trace of train steps 5-10 "
                              "into this directory (view with TensorBoard/xprof).")
+    parser.add_argument("--memory_profile", type=str, default=None,
+                        help="Write a device-memory profile (pprof format) "
+                             "to this path after train step 5 — what is "
+                             "live in HBM at steady state (params, moments, "
+                             "remat'd activations). View with pprof.")
     parser.add_argument("--eval_every_epoch", action="store_true",
                         help="Eval every epoch instead of the reference's "
                              "epoch>5-and-even gate (useful for short runs).")

@@ -217,6 +217,7 @@ class VLTaskTrainer(TaskTrainer):
         self.best_epoch = -1
         global_step = 0
         profile_dir = getattr(self.args, "profile_dir", None)
+        mem_profile = getattr(self.args, "memory_profile", None)
         from climb_tpu.data.loader import device_prefetch
 
         # -- elastic mid-task resume (beyond-reference capability) ------------
@@ -305,7 +306,7 @@ class VLTaskTrainer(TaskTrainer):
             best_score, best_params = self._epoch_loop(
                 model, state, train_step, replay_memory, ewc,
                 start_epoch, resume_skip, global_step, best_score, best_params,
-                log_freq, replay_freq, profile_dir, preempt,
+                log_freq, replay_freq, profile_dir, mem_profile, preempt,
                 save_every, state_path, best_path, awriter,
                 device_prefetch, save_params, save_train_state,
             )
@@ -330,7 +331,7 @@ class VLTaskTrainer(TaskTrainer):
     def _epoch_loop(
         self, model, state, train_step, replay_memory, ewc,
         start_epoch, resume_skip, global_step, best_score, best_params,
-        log_freq, replay_freq, profile_dir, preempt,
+        log_freq, replay_freq, profile_dir, mem_profile, preempt,
         save_every, state_path, best_path, awriter,
         device_prefetch, save_params, save_train_state,
     ):
@@ -362,6 +363,20 @@ class VLTaskTrainer(TaskTrainer):
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
                     profile_dir = None
+                if mem_profile is not None and global_step == 5:
+                    jax.block_until_ready(metrics["loss"])
+                    try:
+                        import os as _os
+
+                        _os.makedirs(_os.path.dirname(mem_profile) or ".",
+                                     exist_ok=True)
+                        with open(mem_profile, "wb") as f:
+                            f.write(jax.profiler.device_memory_profile())
+                        logger.info("device memory profile -> %s", mem_profile)
+                    except Exception:
+                        logger.exception("device_memory_profile failed "
+                                         "(unsupported on this backend?)")
+                    mem_profile = None
                 seen += self.batch_size
                 if replay_memory is not None and replay_memory.do_replay():
                     if global_step % replay_freq == 0:
