@@ -61,29 +61,35 @@ def main():
     results = {}
     step_bf = make_eval_step(model.module, "snli-ve", LOSS_TYPES["snli-ve"], cfg.compute_dtype)
     results["live_bf16"] = timeit(lambda b: step_bf(model.params, b), batch)
+    print(f"live_bf16: {results['live_bf16']:.1f} ex/s", flush=True)
 
     export_eval_step(step_bf, model.params, batch, "/tmp/bench_bf16.climbx",
                      {"task_key": "snli-ve"})
     art = ExportedModel("/tmp/bench_bf16.climbx")
     results["artifact_bf16"] = timeit(art, batch)
+    print(f"artifact_bf16: {results['artifact_bf16']:.1f} ex/s", flush=True)
+    print(f"artifact/live bf16: {results['artifact_bf16']/results['live_bf16']:.3f}",
+          flush=True)
 
-    cfg_q = cfg.replace(dense_impl="int8_static")
-    module_q = type(model.module)(cfg_q, model.head_specs)
-    qcol = calibrate_quant_scales(module_q, "snli-ve", model.params, [batch], cfg.compute_dtype)
-    step_q = make_eval_step(module_q, "snli-ve", LOSS_TYPES["snli-ve"],
-                            cfg.compute_dtype, extra_vars={"quant": qcol})
-    results["live_int8_static"] = timeit(lambda b: step_q(model.params, b), batch)
+    if "--int8" in sys.argv:  # slow: several extra full-size tunnel compiles
+        cfg_q = cfg.replace(dense_impl="int8_static")
+        module_q = type(model.module)(cfg_q, model.head_specs)
+        qcol = calibrate_quant_scales(module_q, "snli-ve", model.params, [batch],
+                                      cfg.compute_dtype)
+        step_q = make_eval_step(module_q, "snli-ve", LOSS_TYPES["snli-ve"],
+                                cfg.compute_dtype, extra_vars={"quant": qcol})
+        results["live_int8_static"] = timeit(lambda b: step_q(model.params, b), batch)
+        print(f"live_int8_static: {results['live_int8_static']:.1f} ex/s", flush=True)
 
-    export_eval_step(step_q, model.params, batch, "/tmp/bench_int8.climbx",
-                     {"task_key": "snli-ve"})
-    art_q = ExportedModel("/tmp/bench_int8.climbx")
-    results["artifact_int8_static"] = timeit(art_q, batch)
-
-    for k, v in results.items():
-        print(f"{k}: {v:.1f} ex/s")
-    print(f"artifact/live bf16: {results['artifact_bf16']/results['live_bf16']:.3f}")
-    print(f"artifact/live int8: {results['artifact_int8_static']/results['live_int8_static']:.3f}")
-    print(f"int8/bf16 (artifact): {results['artifact_int8_static']/results['artifact_bf16']:.3f}")
+        export_eval_step(step_q, model.params, batch, "/tmp/bench_int8.climbx",
+                         {"task_key": "snli-ve"})
+        art_q = ExportedModel("/tmp/bench_int8.climbx")
+        results["artifact_int8_static"] = timeit(art_q, batch)
+        print(f"artifact_int8_static: {results['artifact_int8_static']:.1f} ex/s",
+              flush=True)
+        print(f"int8/bf16 (artifact): "
+              f"{results['artifact_int8_static']/results['artifact_bf16']:.3f}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -171,3 +171,52 @@ def test_text_embeds_input(hf_model, rng):
         text_embeds=jnp.asarray(embeds),
     )
     np.testing.assert_allclose(np.asarray(my_pooled), out.pooler_output.numpy(), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("CLIMB_TPU_PARITY_MODEL"),
+    reason="set CLIMB_TPU_PARITY_MODEL=dandelin/vilt-b32-mlm (or a local HF "
+           "ViltModel dir) to run golden parity against real weights — "
+           "needs downloaded weights (docs/MIGRATION.md runbook)",
+)
+def test_parity_real_pretrained_weights(rng):
+    """The runbook closer (docs/MIGRATION.md): the same tolerance asserts as
+    the hermetic tests, against an actual pretrained (or any full-size,
+    disk-saved) HF ViltModel at the production 384x640 canvas."""
+    import os
+
+    name = os.environ["CLIMB_TPU_PARITY_MODEL"]
+    hf = transformers.ViltModel.from_pretrained(name)
+    hf.eval()
+    hc = hf.config
+    ch, cw = 384, 640
+    cfg = ViltConfig(
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_layers=hc.num_hidden_layers,
+        num_heads=hc.num_attention_heads,
+        intermediate_size=hc.intermediate_size,
+        image_height=ch,
+        image_width=cw,
+        patch_size=hc.patch_size,
+        pretrain_image_size=hc.image_size,
+        max_text_len=hc.max_position_embeddings,
+        modality_type_vocab_size=hc.modality_type_vocab_size,
+    )
+    B, L = 2, 24
+    ids = rng.randint(1, hc.vocab_size, size=(B, L)).astype(np.int32)
+    mask = np.ones((B, L), np.float32)
+    mask[1, L - 5:] = 0.0
+    pixels = rng.rand(B, ch, cw, 3).astype(np.float32)
+    img_hw = [(ch, cw), (256, 384)]  # one full canvas, one ragged image
+    pixel_mask = np.zeros((B, ch, cw), np.int64)
+    for b, (h, w) in enumerate(img_hw):
+        pixel_mask[b, :h, :w] = 1
+        pixels[b, h:, :, :] = 0.0
+        pixels[b, :, w:, :] = 0.0
+    patch_hw = np.array([[h // 32, w // 32] for h, w in img_hw], np.int32)
+
+    hf_seq, hf_pooled = run_hf(hf, ids, mask, pixels, pixel_mask)
+    my_seq, my_pooled = run_mine(hf, cfg, ids, mask, pixels, patch_hw)
+    np.testing.assert_allclose(my_seq[:, :L], hf_seq[:, :L], atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(my_pooled, hf_pooled, atol=5e-4, rtol=1e-3)
