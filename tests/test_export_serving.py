@@ -257,3 +257,21 @@ def test_serving_needs_no_model_code(tmp_path):
     assert "ok" in r.stdout
     got = np.load(tmp_path / "logits.npy")
     np.testing.assert_array_equal(np.asarray(want_logits), got)
+
+
+def test_export_viltbert(tmp_path):
+    """ViLT-BERT exports too: the frozen BERT text side lives inside the
+    params tree, so the (params, batch) signature covers it."""
+    from climb_tpu.serve import ExportedModel, export_eval_step
+
+    args = tiny_args(encoder_name="viltbert")
+    model = create_cl_model(args, task_configs)
+    eval_step = make_eval_step(
+        model.module, "snli-ve", LOSS_TYPES["snli-ve"], model.cfg.compute_dtype
+    )
+    batch = make_batch(model.cfg)
+    want, _, _ = eval_step(model.params, batch)
+    path = str(tmp_path / "vb.climbx")
+    export_eval_step(eval_step, model.params, batch, path, {"task_key": "snli-ve"})
+    got, _, _ = ExportedModel(path)(batch)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
