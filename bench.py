@@ -350,6 +350,10 @@ def main():
                 "note": "3x of the compute-bound reading (1800 ex/s) exceeds "
                         "v5e peak bf16 and is unreachable on any single chip "
                         "of this class; basis details in BASELINE.md",
+                "faster_configs": "this is the conservative fixed-canvas "
+                        "step; the bucketed training configs (bit-equal "
+                        "results) measure higher — run with --aspect-mix / "
+                        "--bucket-mix, readings recorded in BASELINE.md",
             }
         )
     )
