@@ -78,8 +78,17 @@ def _class_split_subsample(per_class, mode, n_shot, subsample_seed,
                            val_ratio_cap: Optional[float] = None):
     """Reference get_train_val_split semantics (imagenet_dataset.py:55-83 /
     inat2019_dataset.py:51-85): per-class seed-2022 shuffle, carve val from
-    the tail, subsample train with subsample_seed."""
+    the tail, shuffle train with subsample_seed and keep n_shot per class.
+
+    Determinism deviation: the reference seeds the train shuffle with
+    ``self.subsample_seed`` even when it is None (system entropy), making the
+    full-train *order* nondeterministic across constructions — which would
+    silently break this framework's elastic-resume index mapping. Here a
+    missing subsample_seed falls back to the fixed split seed (2022); the
+    reference's drivers always pass a seed, so every reference-reachable
+    configuration is unchanged."""
     train_out, val_out = [], []
+    train_seed = subsample_seed if subsample_seed is not None else 2022
     for cls_data in per_class:
         cls_data = list(cls_data)
         if keep_small_classes and len(cls_data) <= (n_shot or 0):
@@ -94,7 +103,7 @@ def _class_split_subsample(per_class, mode, n_shot, subsample_seed,
         train_cls = cls_data[:n_train]
         val_out.extend(cls_data[n_train:])
         if mode == "train":
-            random.seed(subsample_seed)
+            random.seed(train_seed)
             random.shuffle(train_cls)
             train_out.extend(train_cls[: n_shot] if n_shot else train_cls)
     return train_out if mode == "train" else val_out
@@ -118,7 +127,7 @@ class ImageNetDataset(VisionDatasetBase):
         else:
             per_class = []
             for label, dir_name in enumerate(all_classes):
-                fns = glob.glob(os.path.join(data_dir, "train", dir_name, "*.JPEG"))
+                fns = sorted(glob.glob(os.path.join(data_dir, "train", dir_name, "*.JPEG")))
                 per_class.append([[fn, label] for fn in fns])
             self.dataset = _class_split_subsample(per_class, mode, n_shot, subsample_seed)
         logger.info("ImageNet %s: %d images", mode, len(self.dataset))
@@ -135,12 +144,12 @@ class Places365Dataset(VisionDatasetBase):
         all_classes = sorted(os.listdir(os.path.join(data_dir, "train")))
         if mode == "test":
             for label, dir_name in enumerate(all_classes):
-                for fn in glob.glob(os.path.join(image_dir, dir_name, "*.jpg")):
+                for fn in sorted(glob.glob(os.path.join(image_dir, dir_name, "*.jpg"))):
                     self.dataset.append([fn, label])
         else:
             per_class = []
             for label, dir_name in enumerate(all_classes):
-                fns = glob.glob(os.path.join(image_dir, dir_name, "*.jpg"))
+                fns = sorted(glob.glob(os.path.join(image_dir, dir_name, "*.jpg")))
                 per_class.append([[fn, label] for fn in fns])
             self.dataset = _class_split_subsample(per_class, mode, n_shot, subsample_seed)
         logger.info("Places365 %s: %d images", mode, len(self.dataset))
