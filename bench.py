@@ -64,9 +64,12 @@ def train_gflops_per_example(cfg) -> float:
 
 
 def build_state_and_step(args):
+    from climb_tpu.cli.common import enable_compilation_cache
     from climb_tpu.configs import task_configs
     from climb_tpu.train import TrainState, create_cl_model, make_train_step
     from climb_tpu.train.optimizer import make_optimizer
+
+    enable_compilation_cache()  # warm reruns skip the ~3 min unrolled compile
 
     model = create_cl_model(args, task_configs)
     cfg = model.cfg

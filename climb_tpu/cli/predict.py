@@ -97,6 +97,9 @@ def build_parser():
 
 def main(argv=None):
     setup_logging()
+    from climb_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     args.ordered_cl_tasks = args.ordered_cl_tasks.split(",")
     if args.tiny:  # tiny model config implies the tiny image canvas

@@ -1,0 +1,67 @@
+"""Serve an exported artifact over HTTP.
+
+    python -m climb_tpu.cli.serve --from_export snli-ve.climbx --port 8700
+
+The artifact (from ``predict --export_model``) is the whole deployment: no
+model code, checkpoint, or dataset is needed at serve time. Concurrent
+requests are coalesced into full fixed-shape device batches (see
+``climb_tpu/serve/server.py``). Beyond-reference capability: the reference
+has no serving path (SURVEY.md §2.2 — evaluation lives inside trainer loops).
+"""
+
+import argparse
+import logging
+
+from climb_tpu.cli.common import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--from_export", required=True,
+                   help="Serving artifact written by predict --export_model.")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8700,
+                   help="TCP port (0 = ephemeral; printed at startup).")
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="How long the batcher waits to fill a device batch "
+                        "before running a partial one.")
+    p.add_argument("--tokenizer", default=None,
+                   help="Override the artifact's tokenizer spec (name, vocab "
+                        "file path, or 'synthetic').")
+    p.add_argument("--vocab_path", default=None,
+                   help="Explicit WordPiece vocab file for the tokenizer.")
+    return p
+
+
+def main(argv=None):
+    setup_logging()
+    args = build_parser().parse_args(argv)
+
+    from climb_tpu.cli.common import enable_compilation_cache
+    from climb_tpu.serve.server import create_server
+
+    enable_compilation_cache()
+    tokenizer = None
+    if args.tokenizer or args.vocab_path:
+        from climb_tpu.data.tokenization import load_tokenizer
+
+        tokenizer = load_tokenizer(args.tokenizer or "bert-base-uncased",
+                                   args.vocab_path)
+    server = create_server(args.from_export, host=args.host, port=args.port,
+                           max_wait_ms=args.max_wait_ms, tokenizer=tokenizer)
+    host, port = server.server_address[:2]
+    logger.info("ready: POST http://%s:%d/v1/predict "
+                "(GET /healthz, /stats; Ctrl-C to stop)", host, port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        server.service.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -128,7 +128,7 @@ def process_image(
     from PIL import Image
 
     ch, cw = canvas_hw
-    if not hasattr(image, "size"):
+    if not hasattr(image, "mode"):  # raw array (note ndarray HAS .size)
         image = Image.fromarray(np.asarray(image).astype(np.uint8))
     if image.mode != "RGB":
         image = image.convert("RGB")

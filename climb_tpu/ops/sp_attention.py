@@ -70,7 +70,10 @@ def ring_attention(q, k, v, bias_k, axis_name: str):
 
     b, sq, h, d = q.shape
     # accumulators are device-varying (shard_map manual-axes typing)
-    pvary = lambda x: jax.lax.pvary(x, (axis_name,))
+    if hasattr(jax.lax, "pcast"):  # jax.lax.pvary is deprecated in its favor
+        pvary = lambda x: jax.lax.pcast(x, (axis_name,), to="varying")
+    else:
+        pvary = lambda x: jax.lax.pvary(x, (axis_name,))
     o0 = pvary(jnp.zeros((b, sq, h, d), jnp.float32))
     m0 = pvary(jnp.full((b, h, sq), NEG_INF, jnp.float32))
     l0 = pvary(jnp.zeros((b, h, sq), jnp.float32))

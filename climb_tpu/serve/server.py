@@ -1,0 +1,357 @@
+"""HTTP inference server over an exported serving artifact.
+
+The deployable unit is the single-file artifact produced by
+``predict --export_model`` (StableHLO program + params + input signature,
+:mod:`climb_tpu.serve.export`). This module serves it over HTTP the
+TPU-idiomatic way: the program has ONE fixed batch signature, so the server
+coalesces concurrent requests into full device batches (continuous
+micro-batching) instead of running one under-filled forward per request —
+on a systolic-array part, serving throughput comes from batch occupancy.
+
+Stack: Python stdlib only (``http.server.ThreadingHTTPServer``). Request
+threads do the host-side work in parallel (JSON parse, image decode,
+tokenize via the AOT input processor); a single batcher thread drains the
+example queue up to the artifact's batch size (or ``max_wait_ms``),
+zero-fills the signature keys serving doesn't provide (labels), pads the
+tail, and runs the exported program once per batch.
+
+The reference has no serving story at all (evaluation lives inside each
+task trainer's loop, reference train_snli_ve.py:246-266) — this subsystem
+is beyond-reference, designed for the "production deployment and serving"
+half of the framework's charter.
+
+API:
+  GET  /healthz      -> {status, task_key, batch_size, signature, platforms}
+  GET  /stats        -> batching counters (requests, examples, batches,
+                        mean batch fill, last batch latency)
+  POST /v1/predict   -> body {"instances": [...], "return_logits": bool}
+       instance schema matches predict --input_jsonl rows:
+         {"text": str, "image": IMG}                  single-image tasks
+         {"text": str, "images": [IMG, IMG]}          NLVR2-style pairs
+         {"choices": [str, ...], "image": IMG}        multiple choice
+       IMG = local path string | {"b64": base64-encoded image bytes}
+       -> {"predictions": [int, ...], "n": int, ["logits": [[...]]]}
+"""
+
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_STOP = object()
+
+
+class RequestBatcher:
+    """Coalesce single-example submissions into fixed-size device batches.
+
+    ``run_fn(batch_dict) -> (logits, ...)`` is invoked on at most one thread
+    (the batcher), with every batch padded/zero-filled to ``batch_spec``'s
+    exact signature. ``submit(example)`` blocks the calling (request) thread
+    until its row of logits is available.
+    """
+
+    def __init__(self, run_fn, batch_spec, max_wait_ms: float = 5.0,
+                 submit_timeout_s: float = 120.0):
+        self._run_fn = run_fn
+        self.batch_spec = dict(batch_spec)  # {key: (shape, dtype_name)}
+        self.batch_size = next(iter(self.batch_spec.values()))[0][0]
+        self.max_wait_s = max_wait_ms / 1e3
+        self.submit_timeout_s = submit_timeout_s
+        self._q = queue.Queue()
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "examples": 0, "batches": 0,
+                      "batched_examples": 0, "last_batch_ms": None,
+                      "errors": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="climb-batcher")
+        self._thread.start()
+
+    # -- request side ------------------------------------------------------
+    def submit(self, example: dict) -> np.ndarray:
+        """Blockingly run one example; returns its logits row."""
+        done = threading.Event()
+        item = {"example": example, "done": done, "result": None, "error": None}
+        self._q.put(item)
+        if not done.wait(self.submit_timeout_s):
+            raise TimeoutError(
+                f"inference did not complete in {self.submit_timeout_s:.0f}s"
+            )
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def close(self):
+        self._q.put(_STOP)
+        self._thread.join(timeout=10.0)
+
+    # -- batcher side ------------------------------------------------------
+    def _loop(self):
+        while True:
+            first = self._q.get()
+            if first is _STOP:
+                return
+            items = [first]
+            deadline = time.perf_counter() + self.max_wait_s
+            while len(items) < self.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is _STOP:
+                    self._fail(items, RuntimeError("server shutting down"))
+                    return
+                items.append(nxt)
+            try:
+                batch = self._assemble([it["example"] for it in items])
+                t0 = time.perf_counter()
+                out = self._run_fn(batch)
+                logits = np.asarray(out[0] if isinstance(out, (tuple, list)) else out)
+                dt_ms = (time.perf_counter() - t0) * 1e3
+                with self._lock:
+                    self.stats["batches"] += 1
+                    self.stats["batched_examples"] += len(items)
+                    self.stats["last_batch_ms"] = round(dt_ms, 2)
+                for i, it in enumerate(items):
+                    it["result"] = logits[i]
+                    it["done"].set()
+            except Exception as e:  # propagate to every waiting request
+                logger.exception("batch failed")
+                self._fail(items, e)
+
+    def _fail(self, items, err):
+        with self._lock:
+            self.stats["errors"] += len(items)
+        for it in items:
+            it["error"] = err
+            it["done"].set()
+
+    def _assemble(self, examples) -> dict:
+        n = len(examples)
+        batch = {}
+        for key, (shape, dtype) in self.batch_spec.items():
+            out = np.zeros(tuple(shape), dtype)
+            if key == "valid":
+                out[:n] = 1.0
+            elif key in examples[0]:
+                rows = np.stack([np.asarray(ex[key]) for ex in examples])
+                if rows.shape[1:] != tuple(shape)[1:]:
+                    raise ValueError(
+                        f"'{key}' row shape {rows.shape[1:]} != artifact "
+                        f"signature {tuple(shape)[1:]}"
+                    )
+                out[:n] = rows.astype(dtype)
+            # else: signature key the request never carries (labels,
+            # target_scores) stays zero — serving computes logits only
+            batch[key] = out
+        return batch
+
+
+def _load_image(spec):
+    from PIL import Image
+
+    if isinstance(spec, str):
+        return Image.open(spec)
+    if isinstance(spec, dict) and "b64" in spec:
+        return Image.open(io.BytesIO(base64.b64decode(spec["b64"])))
+    return np.asarray(spec, np.uint8)  # nested lists = raw HWC array
+
+
+class InferenceService:
+    """Instances -> processor -> batcher -> per-example logits."""
+
+    def __init__(self, exported, tokenizer=None, max_wait_ms: float = 5.0):
+        from climb_tpu.data.processor import ViltInputProcessor
+        from climb_tpu.data.tokenization import load_tokenizer
+
+        self.exported = exported
+        meta = exported.meta
+        self.meta = meta
+        self.processor = ViltInputProcessor(
+            tokenizer or load_tokenizer(meta.get("tokenizer", "bert-base-uncased")),
+            int(meta["max_text_len"]),
+            (int(meta["image_height"]), int(meta["image_width"])),
+            int(meta["patch_size"]),
+        )
+        self.batcher = RequestBatcher(exported, exported.batch_spec,
+                                      max_wait_ms=max_wait_ms)
+
+    def preprocess(self, instances) -> list:
+        """Instances -> list of per-example dicts (processor output rows)."""
+        if not instances:
+            raise ValueError("empty 'instances'")
+        meta = self.meta
+        proc = self.processor
+        if meta.get("model_type") == "multi-choice":
+            bad = [i for i, r in enumerate(instances) if "choices" not in r]
+            if bad:
+                raise ValueError(f"instances {bad} missing 'choices' "
+                                 f"(task {meta['task_key']} is multiple-choice)")
+            nc = int(meta.get("num_choices") or len(instances[0]["choices"]))
+            for i, r in enumerate(instances):
+                if len(r["choices"]) != nc:
+                    raise ValueError(
+                        f"instance {i} has {len(r['choices'])} choices; "
+                        f"artifact expects {nc}")
+            batch = proc.multi_choice(
+                [r["choices"] for r in instances],
+                [_load_image(r["image"]) for r in instances],
+            )
+        elif int(meta.get("num_images", 1)) == 2:
+            bad = [i for i, r in enumerate(instances)
+                   if len(r.get("images", ())) != 2]
+            if bad:
+                raise ValueError(f"instances {bad} need 'images': [a, b] "
+                                 f"(task {meta['task_key']} is two-image)")
+            batch = proc(
+                [r["text"] for r in instances],
+                [[_load_image(r["images"][0]), _load_image(r["images"][1])]
+                 for r in instances],
+            )
+        else:
+            bad = [i for i, r in enumerate(instances)
+                   if "text" not in r or "image" not in r]
+            if bad:
+                raise ValueError(f"instances {bad} missing 'text'/'image'")
+            batch = proc([r["text"] for r in instances],
+                         [_load_image(r["image"]) for r in instances])
+        n = len(instances)
+        return [{k: v[i] for k, v in batch.items()} for i in range(n)]
+
+    def predict(self, instances, return_logits=False) -> dict:
+        with self.batcher._lock:
+            self.batcher.stats["requests"] += 1
+            self.batcher.stats["examples"] += len(instances)
+        rows = self.preprocess(instances)
+        if len(rows) == 1:
+            logits = [self.batcher.submit(rows[0])]
+        else:
+            # submit concurrently so one request's examples share batches
+            # with each other and with other in-flight requests
+            logits = [None] * len(rows)
+            errs = []
+
+            def run(i):
+                try:
+                    logits[i] = self.batcher.submit(rows[i])
+                except Exception as e:  # noqa: BLE001 — reported below
+                    errs.append(e)
+
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(len(rows))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            if errs:
+                raise errs[0]
+        out = {
+            "task_key": self.meta.get("task_key"),
+            "predictions": [int(np.argmax(l)) for l in logits],
+            "n": len(rows),
+        }
+        if return_logits:
+            out["logits"] = [np.asarray(l, np.float64).tolist() for l in logits]
+        return out
+
+    def close(self):
+        self.batcher.close()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # class attr injected by create_server
+    service: InferenceService = None
+
+    def log_message(self, fmt, *args):  # route http.server noise to logging
+        logger.debug("%s " + fmt, self.address_string(), *args)
+
+    def _json(self, code, payload):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        svc = self.service
+        if self.path == "/healthz":
+            self._json(200, {
+                "status": "ok",
+                "task_key": svc.meta.get("task_key"),
+                "batch_size": svc.batcher.batch_size,
+                "platforms": list(svc.exported.platforms),
+                "signature": {
+                    k: [list(shape), dtype]
+                    for k, (shape, dtype) in svc.exported.batch_spec.items()
+                },
+            })
+        elif self.path == "/stats":
+            with svc.batcher._lock:
+                stats = dict(svc.batcher.stats)
+            b = max(stats["batches"], 1)
+            stats["mean_batch_fill"] = round(
+                stats["batched_examples"] / b / svc.batcher.batch_size, 3)
+            self._json(200, stats)
+        else:
+            self._json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/v1/predict":
+            return self._json(404, {"error": f"no route {self.path}"})
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            instances = req.get("instances")
+            if not isinstance(instances, list) or not instances:
+                raise ValueError("body must carry a non-empty 'instances' list")
+            out = self.service.predict(
+                instances, return_logits=bool(req.get("return_logits"))
+            )
+            self._json(200, out)
+        except (ValueError, KeyError, TypeError) as e:
+            self._json(400, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001
+            logger.exception("predict failed")
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def create_server(artifact_path: str, host: str = "127.0.0.1", port: int = 0,
+                  max_wait_ms: float = 5.0, tokenizer=None,
+                  warmup: bool = True) -> ThreadingHTTPServer:
+    """Build a ready-to-serve ThreadingHTTPServer around an artifact.
+
+    ``port=0`` binds an ephemeral port (``server.server_address[1]``).
+    ``warmup`` runs one zero batch through the program so the first request
+    doesn't pay any lazy initialization. The server owns the service; use
+    ``server.service`` for in-process access and call ``server.shutdown()``
+    + ``server.service.close()`` to stop.
+    """
+    from climb_tpu.serve import ExportedModel
+
+    exported = ExportedModel(artifact_path)
+    service = InferenceService(exported, tokenizer=tokenizer,
+                               max_wait_ms=max_wait_ms)
+    if warmup:
+        zero = {k: np.zeros(tuple(shape), dtype)
+                for k, (shape, dtype) in exported.batch_spec.items()}
+        exported(zero)
+    handler = type("Handler", (_Handler,), {"service": service})
+    server = ThreadingHTTPServer((host, port), handler)
+    server.service = service
+    logger.info(
+        "serving %s (task=%s, batch=%d, wait<=%.1fms) on http://%s:%d",
+        artifact_path, exported.meta.get("task_key"),
+        service.batcher.batch_size, max_wait_ms, *server.server_address[:2],
+    )
+    return server

@@ -1,0 +1,223 @@
+"""HTTP serving (climb_tpu/serve/server.py): the exported artifact behind
+a request-coalescing batcher must reproduce the program's direct outputs,
+fill device batches from concurrent requests, and fail requests with
+actionable 4xx errors. Stdlib client (urllib) against an ephemeral port."""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from climb_tpu.configs import task_configs
+from climb_tpu.data.processor import ViltInputProcessor
+from climb_tpu.data.tokenization import HashTokenizer
+from climb_tpu.serve import export_eval_step
+from climb_tpu.serve.server import RequestBatcher, create_server
+from climb_tpu.train import LOSS_TYPES, create_cl_model
+from climb_tpu.train.train_step import make_eval_step
+
+BS = 4
+
+
+def tiny_args(**kw):
+    base = dict(
+        batch_size=BS, seed=0, synthetic=True, tiny=True,
+        ordered_cl_tasks=["snli-ve"], encoder_name="vilt",
+        pretrained_vilt_name="scratch", image_height=64, image_width=96,
+    )
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    args = tiny_args()
+    model = create_cl_model(args, task_configs)
+    cfg = model.cfg
+    eval_step = make_eval_step(
+        model.module, "snli-ve", LOSS_TYPES["snli-ve"], cfg.compute_dtype
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": rng.randint(1, cfg.vocab_size, (BS, cfg.max_text_len)).astype(np.int32),
+        "text_mask": np.ones((BS, cfg.max_text_len), np.float32),
+        "pixel_values": rng.randint(0, 255, (BS, 64, 96, 3)).astype(np.uint8),
+        "patch_hw": np.tile([[cfg.grid_h, cfg.grid_w]], (BS, 1)).astype(np.int32),
+        "labels": rng.randint(0, 3, (BS,)).astype(np.int32),
+    }
+    path = str(tmp_path_factory.mktemp("art") / "snli-ve.climbx")
+    export_eval_step(
+        eval_step, model.params, batch, path,
+        {
+            "task_key": "snli-ve", "batch_size": BS, "model_type": "classification",
+            "num_images": 1, "num_choices": 0, "tokenizer": "synthetic",
+            "max_text_len": int(cfg.max_text_len), "image_height": 64,
+            "image_width": 96, "patch_size": int(cfg.patch_size),
+        },
+        platforms=("cpu",),
+    )
+    return path, cfg
+
+
+@pytest.fixture(scope="module")
+def server(artifact):
+    path, _ = artifact
+    srv = create_server(path, port=0, max_wait_ms=300.0,
+                        tokenizer=HashTokenizer())
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.service.close()
+
+
+def _url(server, route):
+    host, port = server.server_address[:2]
+    return f"http://{host}:{port}{route}"
+
+
+def _post(server, payload, route="/v1/predict"):
+    req = urllib.request.Request(
+        _url(server, route), data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=180) as r:
+        return r.status, json.loads(r.read())
+
+
+def _instances(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return [
+        {"text": f"a photo of thing number {i}",
+         "image": rng.randint(0, 255, (40, 56, 3)).astype(np.uint8).tolist()}
+        for i in range(n)
+    ]
+
+
+def _direct_logits(artifact, instances):
+    """Ground truth: same preprocessing, direct ExportedModel call."""
+    from climb_tpu.serve import ExportedModel
+
+    path, cfg = artifact
+    m = ExportedModel(path)
+    proc = ViltInputProcessor(HashTokenizer(), cfg.max_text_len, (64, 96),
+                              cfg.patch_size)
+    out = []
+    for r in instances:
+        b = proc([r["text"]], [np.asarray(r["image"], np.uint8)])
+        full = {}
+        for k, (shape, dtype) in m.batch_spec.items():
+            full[k] = np.zeros(tuple(shape), dtype)
+            if k in b:
+                full[k][:1] = b[k].astype(dtype)
+        logits, _, _ = m(full)
+        out.append(np.asarray(logits)[0])
+    return out
+
+
+def test_healthz_and_single_prediction(server, artifact):
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=60) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok"
+    assert health["task_key"] == "snli-ve"
+    assert health["batch_size"] == BS
+    assert "pixel_values" in health["signature"]
+
+    inst = _instances(1)
+    status, out = _post(server, {"instances": inst, "return_logits": True})
+    assert status == 200
+    assert out["n"] == 1 and len(out["predictions"]) == 1
+    want = _direct_logits(artifact, inst)[0]
+    np.testing.assert_allclose(np.asarray(out["logits"][0]),
+                               np.asarray(want, np.float64), rtol=0, atol=0)
+    assert out["predictions"][0] == int(np.argmax(want))
+
+
+def test_multi_instance_request_spans_batches(server, artifact):
+    inst = _instances(BS + 2, seed=1)  # forces at least two device batches
+    status, out = _post(server, {"instances": inst, "return_logits": True})
+    assert status == 200
+    assert out["n"] == BS + 2
+    want = _direct_logits(artifact, inst)
+    for got, exp in zip(out["logits"], want):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp, np.float64),
+                                   rtol=0, atol=0)
+
+
+def test_concurrent_requests_coalesce(server):
+    with server.service.batcher._lock:
+        before = dict(server.service.batcher.stats)
+    results = [None] * BS
+
+    def call(i):
+        results[i] = _post(server, {"instances": _instances(1, seed=10 + i)})
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(BS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r[0] == 200 for r in results)
+    with server.service.batcher._lock:
+        after = dict(server.service.batcher.stats)
+    new_batches = after["batches"] - before["batches"]
+    new_examples = after["batched_examples"] - before["batched_examples"]
+    assert new_examples == BS
+    # 4 one-example requests land in fewer than 4 device batches (the 300ms
+    # coalescing window is far wider than the submission skew)
+    assert new_batches < BS
+
+
+def test_error_responses(server):
+    # malformed body -> 400 with a message
+    status = None
+    try:
+        _post(server, {"instances": []})
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 400 and "instances" in body["error"]
+
+    try:
+        _post(server, {"instances": [{"text": "no image"}]})
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 400 and "missing" in body["error"]
+
+    try:
+        _post(server, {"instances": _instances(1)}, route="/nope")
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 404
+
+
+def test_batcher_zero_fills_signature_and_validates_rows():
+    calls = []
+
+    def run_fn(batch):
+        calls.append({k: np.array(v) for k, v in batch.items()})
+        return (np.arange(8, dtype=np.float32).reshape(4, 2),)
+
+    spec = {
+        "x": ((4, 3), "float32"),
+        "labels": ((4,), "int32"),
+        "valid": ((4,), "float32"),
+    }
+    b = RequestBatcher(run_fn, spec, max_wait_ms=50.0)
+    try:
+        row = b.submit({"x": np.ones((3,), np.float32)})
+        assert row.shape == (2,)
+        sent = calls[0]
+        np.testing.assert_array_equal(sent["valid"], [1, 0, 0, 0])
+        np.testing.assert_array_equal(sent["labels"], np.zeros(4, np.int32))
+        np.testing.assert_array_equal(sent["x"][0], np.ones(3))
+        np.testing.assert_array_equal(sent["x"][1:], np.zeros((3, 3)))
+        with pytest.raises(ValueError, match="signature"):
+            b.submit({"x": np.ones((5,), np.float32)})
+    finally:
+        b.close()
