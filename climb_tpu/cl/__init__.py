@@ -7,11 +7,13 @@ from climb_tpu.cl.freeze import (
     adapter_only_mask,
 )
 from climb_tpu.cl.adapters import AdapterHandler, SUPPORTED_ADAPTER_METHODS
+from climb_tpu.cl.distill import FeatureDistill
 
 __all__ = [
     "ExperienceReplayMemory",
     "TaskMemoryBuffer",
     "EWC",
+    "FeatureDistill",
     "AdapterHandler",
     "SUPPORTED_ADAPTER_METHODS",
     "full_trainable_mask",

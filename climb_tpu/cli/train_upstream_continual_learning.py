@@ -49,8 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Ordered list of VL task keys, comma-separated.")
     parser.add_argument("--cl_algorithm", type=str, required=True,
                         choices=["singletask_ft", "sequential_ft", "experience_replay",
-                                 "ewc", "adapter", "freeze_encoder", "freeze_bottom_k_layers"],
-                        help="Continual Learning algorithm.")
+                                 "ewc", "adapter", "freeze_encoder", "freeze_bottom_k_layers",
+                                 "feature_distill"],
+                        help="Continual Learning algorithm (feature_distill "
+                             "is beyond-reference: cl/distill.py).")
     parser.add_argument("--climb_data_dir", type=str, required=True,
                         help="Directory where all the CLiMB data is stored.")
     parser.add_argument("--do_train", action="store_true")
@@ -84,6 +86,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Scaling of the EWC loss.")
     parser.add_argument("--ewc_offload_to_host", action="store_true",
                         help="Keep EWC Fisher/snapshots in host RAM instead of HBM.")
+    # feature distillation (beyond reference)
+    parser.add_argument("--distill_loss_weight", type=float, default=1.0,
+                        help="Scaling of the feature-distillation penalty "
+                             "(cl_algorithm=feature_distill).")
+    parser.add_argument("--distill_offload_to_host", action="store_true",
+                        help="Keep the distillation teacher in host RAM "
+                             "instead of HBM.")
     # freeze bottom-k
     parser.add_argument("--layers_to_freeze", type=int, default=0,
                         help="Number of bottom layers to freeze.")
@@ -117,6 +126,8 @@ def validate_algorithm_args(args):
     if args.cl_algorithm == "ewc":
         assert args.ewc_fisher_sample_percentage > 0
         assert args.ewc_loss_weight > 0.0
+    if args.cl_algorithm == "feature_distill":
+        assert args.distill_loss_weight > 0.0
     if args.cl_algorithm == "freeze_bottom_k_layers":
         assert args.layers_to_freeze > 0
     for task_key in args.ordered_cl_tasks:
@@ -152,6 +163,7 @@ def main(argv=None):
         EWC,
         AdapterHandler,
         ExperienceReplayMemory,
+        FeatureDistill,
         freeze_bottom_k_layers_mask,
         freeze_encoder_mask,
     )
@@ -174,12 +186,15 @@ def main(argv=None):
     replay_memory = None
     ewc = None
     adapter_handler = None
+    distill = None
     if args.cl_algorithm == "experience_replay":
         replay_memory = ExperienceReplayMemory()
     elif args.cl_algorithm == "adapter":
         adapter_handler = AdapterHandler(adapter_method=args.adapter_method, args=args)
     elif args.cl_algorithm == "ewc":
         ewc = EWC(args)
+    elif args.cl_algorithm == "feature_distill":
+        distill = FeatureDistill(args)
 
     model = create_cl_model(args, task_configs, adapter_handler=adapter_handler, mesh=mesh)
 
@@ -244,7 +259,7 @@ def main(argv=None):
                     model = adapter_handler.activate_adapter_for_training(task_key, model)
                 logger.info("Training on task #%d: %s", task_num + 1, task_name)
                 best_eval_score, model = task_trainer.train(
-                    model, replay_memory=replay_memory, ewc=ewc
+                    model, replay_memory=replay_memory, ewc=ewc, distill=distill
                 )
                 logger.info("Best %s score = %.2f (epoch %d)",
                             task_name, best_eval_score, task_trainer.best_epoch)
@@ -275,6 +290,9 @@ def main(argv=None):
                     task_key=task_key, model=model, task_trainer=task_trainer,
                     rng=jax.random.PRNGKey(args.seed + task_num),
                 )
+            elif (args.cl_algorithm == "feature_distill"
+                  and task_num < len(args.ordered_cl_tasks) - 1):
+                distill.save_teacher(task_key, model.params)
 
     if args.do_eval:
         logger.info("Evaluating upstream knowledge transfer...")

@@ -95,8 +95,25 @@ class ViltContinualLearner(nn.Module):
             return self.forward_pair(task_key, batch, deterministic)
         return self.forward_single(task_key, batch, deterministic)
 
+    def forward_with_features(self, task_key: str, batch: dict,
+                              deterministic: bool = True):
+        """(logits, per-example encoder features (B, K)) — the head inputs,
+        flattened per sample. One forward serves both the task loss and
+        representation-anchoring penalties (cl/distill.py) without a second
+        encoder pass."""
+        spec = self._spec_by_key[task_key]
+        if spec.model_type == "multi-choice":
+            return self.forward_multi_choice(task_key, batch, deterministic,
+                                             return_features=True)
+        if spec.num_images == 2:
+            return self.forward_pair(task_key, batch, deterministic,
+                                     return_features=True)
+        return self.forward_single(task_key, batch, deterministic,
+                                   return_features=True)
+
     # -- single image + text (VQA, SNLI-VE; reference forward_single_image) --
-    def forward_single(self, task_key, batch, deterministic=True):
+    def forward_single(self, task_key, batch, deterministic=True,
+                       return_features=False):
         _, pooled, _ = self.encoder(
             batch["input_ids"],
             batch["text_mask"],
@@ -106,10 +123,12 @@ class ViltContinualLearner(nn.Module):
             text_embeds=batch.get("text_embeds"),
             deterministic=deterministic,
         )
-        return self.heads[task_key](pooled, deterministic=deterministic)
+        logits = self.heads[task_key](pooled, deterministic=deterministic)
+        return (logits, pooled) if return_features else logits
 
     # -- image pair + text (NLVR2; reference forward_multi_images) ----------
-    def forward_pair(self, task_key, batch, deterministic=True):
+    def forward_pair(self, task_key, batch, deterministic=True,
+                     return_features=False):
         ids, mask = batch["input_ids"], batch["text_mask"]
         pv, phw = batch["pixel_values"], batch["patch_hw"]
         b = ids.shape[0]
@@ -133,10 +152,12 @@ class ViltContinualLearner(nn.Module):
         # (2B, D) -> (B, 2D): concat of [img0-pooled, img1-pooled] per sample,
         # matching reference vilt.py:305 torch.cat(pooler_outputs, dim=-1).
         pooled_pair = pooled.reshape(b, 2 * pooled.shape[-1])
-        return self.heads[task_key](pooled_pair, deterministic=deterministic)
+        logits = self.heads[task_key](pooled_pair, deterministic=deterministic)
+        return (logits, pooled_pair) if return_features else logits
 
     # -- multiple choice (VCR; reference forward_multi_choice) --------------
-    def forward_multi_choice(self, task_key, batch, deterministic=True):
+    def forward_multi_choice(self, task_key, batch, deterministic=True,
+                             return_features=False):
         ids, mask = batch["input_ids"], batch["text_mask"]
         pv, phw = batch["pixel_values"], batch["patch_hw"]
         b, nc, l = ids.shape
@@ -155,7 +176,10 @@ class ViltContinualLearner(nn.Module):
             token_type_ids=tt_f, text_embeds=te_f, deterministic=deterministic,
         )
         scores = self.heads[task_key](pooled, deterministic=deterministic)  # (B*nc, 1)
-        return scores.reshape(b, nc)
+        logits = scores.reshape(b, nc)
+        if return_features:
+            return logits, pooled.reshape(b, nc * pooled.shape[-1])
+        return logits
 
 
 class ViltClassifier(nn.Module):

@@ -38,6 +38,17 @@ class EwcRef(NamedTuple):
     weight: jax.Array
 
 
+class FdRef(NamedTuple):
+    """Feature-distillation teacher (cl/distill.py — beyond-reference
+    algorithm): full param tree of the end-of-previous-task model, plus the
+    penalty weight. The penalty anchors the CURRENT batch's encoder features
+    to the teacher's — schema-free (works for every head type), unlike
+    logit distillation which needs matching task heads."""
+
+    teacher: dict
+    weight: jax.Array
+
+
 def prepare_batch(batch: dict, compute_dtype=jnp.float32) -> dict:
     """Normalize uint8 pixels on-device; pass floats through unchanged."""
     out = dict(batch)
@@ -110,6 +121,23 @@ def batch_metric(logits, batch, loss_type: str):
     return (correct * valid).sum(), valid.sum()
 
 
+def fd_penalty_sum(feats, teacher_feats, valid) -> jax.Array:
+    """Masked SUM over examples of the mean-squared feature distance (the
+    caller divides by its valid-count denominator so grad accumulation stays
+    exact, mirroring compute_loss_sum)."""
+    per_ex = (
+        (feats.astype(jnp.float32) - teacher_feats.astype(jnp.float32)) ** 2
+    ).mean(axis=-1)
+    return (per_ex * valid).sum()
+
+
+def _valid_vec(batch, n):
+    valid = batch.get("valid")
+    if valid is None:
+        return jnp.ones((n,), jnp.float32)
+    return valid.astype(jnp.float32)
+
+
 def ewc_penalty(params_encoder: dict, ewc_ref: EwcRef) -> jax.Array:
     sq = jax.tree_util.tree_map(
         lambda f, p, a: (f * (p - a) ** 2).sum(),
@@ -153,25 +181,50 @@ def make_train_step(model, task_key: Optional[str], loss_type: str, compute_dtyp
     activation sets schedule ~20% faster (exp_scripts/bench_sweep.py).
     accum_unroll unrolls that scan so XLA may overlap one microbatch's
     forward with the previous one's backward.
+
+    fd_ref (FdRef) adds the feature-distillation penalty: the student's
+    encoder features on the batch are pulled toward a frozen teacher's
+    (one extra deterministic teacher forward per step when active).
     """
     forward = make_forward_fn(model, task_key)
 
-    def loss_fn(params, batch, rng, ewc_ref):
-        logits = forward(
+    def forward_feats(params, batch, **kw):
+        return model.apply({"params": params}, task_key, batch,
+                           method="forward_with_features", **kw)
+
+    def fd_loss_sum(params, batch, rng, fd_ref):
+        """(masked fd SUM, student logits) — one student forward serves both
+        the task loss and the feature penalty."""
+        logits, feats = forward_feats(
             params, batch, deterministic=False, rngs={"dropout": rng}
         )
+        t_feats = jax.lax.stop_gradient(
+            forward_feats(fd_ref.teacher, batch, deterministic=True)[1]
+        )
+        valid = _valid_vec(batch, logits.shape[0])
+        return fd_ref.weight * fd_penalty_sum(feats, t_feats, valid), logits
+
+    def loss_fn(params, batch, rng, ewc_ref, fd_ref):
+        fd = jnp.zeros((), jnp.float32)
+        if fd_ref is not None:
+            fd_sum, logits = fd_loss_sum(params, batch, rng, fd_ref)
+            fd = fd_sum / jnp.maximum(_valid_vec(batch, logits.shape[0]).sum(), 1.0)
+        else:
+            logits = forward(
+                params, batch, deterministic=False, rngs={"dropout": rng}
+            )
         loss = compute_loss(logits, batch, loss_type)
         penalty = jnp.zeros((), jnp.float32)
         if ewc_ref is not None:
             penalty = ewc_penalty(_encoder_subtree(params), ewc_ref)
-        return loss + penalty, (loss, logits)
+        return loss + penalty + fd, (loss, logits, fd)
 
-    def accumulate_grads(params, batch, rng, ewc_ref):
+    def accumulate_grads(params, batch, rng, ewc_ref, fd_ref):
         if grad_accum_steps <= 1:
-            grads, (loss, logits) = jax.grad(loss_fn, has_aux=True)(
-                params, batch, rng, ewc_ref
+            grads, (loss, logits, fd) = jax.grad(loss_fn, has_aux=True)(
+                params, batch, rng, ewc_ref, fd_ref
             )
-            return grads, loss, logits
+            return grads, loss, logits, fd
 
         def micro(b):
             return {k: v.reshape((grad_accum_steps, -1) + v.shape[1:]) for k, v in b.items()}
@@ -189,36 +242,45 @@ def make_train_step(model, task_key: Optional[str], loss_type: str, compute_dtyp
         )
         denom = jnp.maximum(denom, 1.0)
 
-        def scaled_loss_fn(params, mb, r, ewc_ref):
-            logits = forward(params, mb, deterministic=False, rngs={"dropout": r})
+        def scaled_loss_fn(params, mb, r, ewc_ref, fd_ref):
+            fd_scaled = jnp.zeros((), jnp.float32)
+            if fd_ref is not None:
+                fd_sum, logits = fd_loss_sum(params, mb, r, fd_ref)
+                fd_scaled = fd_sum / denom
+            else:
+                logits = forward(params, mb, deterministic=False, rngs={"dropout": r})
             lsum, _ = compute_loss_sum(logits, mb, loss_type)
             data_loss = lsum / denom
-            loss = data_loss
+            loss = data_loss + fd_scaled
             if ewc_ref is not None:
                 loss = loss + ewc_penalty(_encoder_subtree(params), ewc_ref) / grad_accum_steps
-            return loss, (data_loss, logits)
+            return loss, (data_loss, logits, fd_scaled)
 
         def body(carry, xs):
-            acc, loss_acc = carry
+            acc, loss_acc, fd_acc = carry
             mb, r = xs
-            g, (data_loss, logits) = jax.grad(scaled_loss_fn, has_aux=True)(
-                params, mb, r, ewc_ref
+            g, (data_loss, logits, fd_scaled) = jax.grad(scaled_loss_fn, has_aux=True)(
+                params, mb, r, ewc_ref, fd_ref
             )
             acc = jax.tree_util.tree_map(jnp.add, acc, g)
-            return (acc, loss_acc + data_loss), logits
+            return (acc, loss_acc + data_loss, fd_acc + fd_scaled), logits
 
         zeros = jax.tree_util.tree_map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
-        (grads, loss_sum), logits = jax.lax.scan(
-            body, (zeros, jnp.zeros((), jnp.float32)), (micro_batches, rngs),
+        (grads, loss_sum, fd_sum), logits = jax.lax.scan(
+            body,
+            (zeros, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            (micro_batches, rngs),
             unroll=min(accum_unroll, grad_accum_steps),
         )
         logits = logits.reshape((-1,) + logits.shape[2:])
-        return grads, loss_sum, logits
+        return grads, loss_sum, logits, fd_sum
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch, rng, ewc_ref=None):
+    def train_step(state, batch, rng, ewc_ref=None, fd_ref=None):
         batch = prepare_batch(batch, compute_dtype)
-        grads, loss, logits = accumulate_grads(state.params, batch, rng, ewc_ref)
+        grads, loss, logits, fd = accumulate_grads(
+            state.params, batch, rng, ewc_ref, fd_ref
+        )
         new_state = state.apply_gradients(grads)
         metric_sum, metric_count = batch_metric(logits, batch, loss_type)
         metrics = {
@@ -229,6 +291,8 @@ def make_train_step(model, task_key: Optional[str], loss_type: str, compute_dtyp
         if ewc_ref is not None:
             # logged separately like the reference (train_snli_ve.py:212-216)
             metrics["ewc_loss"] = ewc_penalty(_encoder_subtree(new_state.params), ewc_ref)
+        if fd_ref is not None:
+            metrics["distill_loss"] = fd
         return new_state, metrics
 
     return train_step

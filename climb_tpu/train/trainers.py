@@ -200,7 +200,7 @@ class VLTaskTrainer(TaskTrainer):
             trainable_mask=model.trainable_mask,
         )
 
-    def train(self, model: CLModel, replay_memory=None, ewc=None):
+    def train(self, model: CLModel, replay_memory=None, ewc=None, distill=None):
         """Train on this task; returns (best_score, model-with-best-params)."""
         tx = self.make_tx(model)
         state = TrainState.create(
@@ -303,8 +303,13 @@ class VLTaskTrainer(TaskTrainer):
         from climb_tpu.utils.preemption import preemption_requested
 
         try:
+            fd_ref = (
+                distill.ref()
+                if distill is not None and distill.has_teacher()
+                else None
+            )
             best_score, best_params = self._epoch_loop(
-                model, state, train_step, replay_memory, ewc,
+                model, state, train_step, replay_memory, ewc, fd_ref,
                 start_epoch, resume_skip, global_step, best_score, best_params,
                 log_freq, replay_freq, profile_dir, mem_profile, preempt,
                 save_every, state_path, best_path, awriter,
@@ -329,7 +334,7 @@ class VLTaskTrainer(TaskTrainer):
         return best_score, model.with_params(best_params)
 
     def _epoch_loop(
-        self, model, state, train_step, replay_memory, ewc,
+        self, model, state, train_step, replay_memory, ewc, fd_ref,
         start_epoch, resume_skip, global_step, best_score, best_params,
         log_freq, replay_freq, profile_dir, mem_profile, preempt,
         save_every, state_path, best_path, awriter,
@@ -357,7 +362,9 @@ class VLTaskTrainer(TaskTrainer):
                 ewc_ref = None
                 if ewc is not None and ewc.has_tasks():
                     ewc_ref = ewc.sample_ref()
-                state, metrics = train_step(state, batch, self._next_rng(), ewc_ref)
+                state, metrics = train_step(
+                    state, batch, self._next_rng(), ewc_ref, fd_ref
+                )
                 global_step += 1
                 if profile_dir is not None and global_step == 10:
                     jax.block_until_ready(metrics["loss"])
@@ -389,6 +396,15 @@ class VLTaskTrainer(TaskTrainer):
                     log = {f"{self.task_key}/loss": float(metrics["loss"])}
                     if "ewc_loss" in metrics:
                         log[f"{self.task_key}/ewc_loss"] = float(metrics["ewc_loss"])
+                    if "distill_loss" in metrics:
+                        log[f"{self.task_key}/distill_loss"] = float(
+                            metrics["distill_loss"]
+                        )
+                    # epoch-to-date device throughput (the loss fetch above
+                    # is the hard sync, so the window is honestly bounded)
+                    log[f"{self.task_key}/examples_per_sec"] = round(
+                        seen / max(time.time() - t0, 1e-9), 1
+                    )
                     wandb_logger.log(log)
                 if preempt and preemption_requested():
                     if awriter is not None:  # keep file ordering, then save
@@ -486,7 +502,7 @@ class LowShotVLTaskTrainer(VLTaskTrainer):
 
     low_shot = True
 
-    def train(self, model: CLModel, replay_memory=None, ewc=None):
+    def train(self, model: CLModel, replay_memory=None, ewc=None, distill=None):
         return super().train(model, replay_memory=None, ewc=None)
 
 
