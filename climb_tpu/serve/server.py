@@ -171,6 +171,8 @@ class InferenceService:
     """Instances -> processor -> batcher -> per-example logits."""
 
     def __init__(self, exported, tokenizer=None, max_wait_ms: float = 5.0):
+        from concurrent.futures import ThreadPoolExecutor
+
         from climb_tpu.data.processor import ViltInputProcessor
         from climb_tpu.data.tokenization import load_tokenizer
 
@@ -185,6 +187,12 @@ class InferenceService:
         )
         self.batcher = RequestBatcher(exported, exported.batch_spec,
                                       max_wait_ms=max_wait_ms)
+        # bounded fan-out for multi-instance requests: enough in-flight
+        # submissions to fill a few device batches, not a thread per row
+        self._pool = ThreadPoolExecutor(
+            max_workers=4 * self.batcher.batch_size,
+            thread_name_prefix="climb-submit",
+        )
 
     def preprocess(self, instances) -> list:
         """Instances -> list of per-example dicts (processor output rows)."""
@@ -236,25 +244,10 @@ class InferenceService:
         if len(rows) == 1:
             logits = [self.batcher.submit(rows[0])]
         else:
-            # submit concurrently so one request's examples share batches
-            # with each other and with other in-flight requests
-            logits = [None] * len(rows)
-            errs = []
-
-            def run(i):
-                try:
-                    logits[i] = self.batcher.submit(rows[i])
-                except Exception as e:  # noqa: BLE001 — reported below
-                    errs.append(e)
-
-            threads = [threading.Thread(target=run, args=(i,))
-                       for i in range(len(rows))]
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
-            if errs:
-                raise errs[0]
+            # submit concurrently (bounded pool) so one request's examples
+            # share batches with each other and other in-flight requests
+            futures = [self._pool.submit(self.batcher.submit, r) for r in rows]
+            logits = [f.result() for f in futures]
         out = {
             "task_key": self.meta.get("task_key"),
             "predictions": [int(np.argmax(l)) for l in logits],
@@ -265,6 +258,7 @@ class InferenceService:
         return out
 
     def close(self):
+        self._pool.shutdown(wait=False)
         self.batcher.close()
 
 
@@ -306,11 +300,17 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": f"no route {self.path}"})
 
+    MAX_BODY_BYTES = 256 * 1024 * 1024
+
     def do_POST(self):
         if self.path != "/v1/predict":
             return self._json(404, {"error": f"no route {self.path}"})
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length > self.MAX_BODY_BYTES:
+                return self._json(413, {
+                    "error": f"request body {length} bytes exceeds "
+                             f"{self.MAX_BODY_BYTES}"})
             req = json.loads(self.rfile.read(length) or b"{}")
             instances = req.get("instances")
             if not isinstance(instances, list) or not instances:
