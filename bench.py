@@ -357,12 +357,15 @@ def main():
                         "step; the bucketed training configs (bit-equal "
                         "results) measure higher — run with --aspect-mix / "
                         "--bucket-mix, readings recorded in BASELINE.md",
-                # hardware-measured on this chip (2026-08-17, BASELINE.md):
-                # quoted so the graded one-line JSON carries the best
-                # production-config numbers, not just the conservative step
-                "measured_aspect_bucketed_ex_s": 798.0,
-                "measured_aspect_text_bucketed_ex_s": 856.0,
-                "measured_bucketed_vs_baseline": round(856.0 / TARGET, 3),
+                # NOT measured by this invocation — quoted from the recorded
+                # 2026-08-17 v5e hardware runs (BASELINE.md) so the one-line
+                # JSON carries the best production-config numbers; re-measure
+                # with --aspect-mix / --bucket-mix
+                "bucketed_readings_quoted_from_baseline_md": {
+                    "aspect_ex_s": 798.0,
+                    "aspect_text_ex_s": 856.0,
+                    "vs_baseline": round(856.0 / TARGET, 3),
+                },
             }
         )
     )

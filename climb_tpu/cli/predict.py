@@ -268,27 +268,17 @@ def _jsonl_batches(args, model):
     with open(args.input_jsonl) as f:
         rows = [json.loads(line) for line in f if line.strip()]
 
-    def load_img(p):
-        if isinstance(p, str):
-            from PIL import Image
-
-            return Image.open(p)
-        return np.asarray(p)
+    from climb_tpu.data.processor import build_raw_batch
 
     bs = args.batch_size
     for i in range(0, len(rows), bs):
         chunk = rows[i : i + bs]
-        if spec.model_type == "multi-choice":
-            batch = proc.multi_choice(
-                [r["choices"] for r in chunk], [load_img(r["image"]) for r in chunk]
-            )
-        elif spec.num_images == 2:
-            batch = proc(
-                [r["text"] for r in chunk],
-                [[load_img(r["images"][0]), load_img(r["images"][1])] for r in chunk],
-            )
-        else:
-            batch = proc([r["text"] for r in chunk], [load_img(r["image"]) for r in chunk])
+        # same row schemas + image specs (path / {"b64": ...} / raw array)
+        # as the HTTP server — one dispatch implementation for both
+        batch = build_raw_batch(
+            proc, spec.model_type, spec.num_images, chunk,
+            num_choices=spec.num_choices,
+        )
         labels = [r.get("label") for r in chunk]
         int_labels = np.asarray([l if l is not None else 0 for l in labels], np.int32)
         if loss_type == "vqa_bce":  # metric = soft score; one-hot from labels

@@ -135,3 +135,81 @@ CONVERTER_REGISTRY = {
 
 def get_batch_converter(key: str):
     return CONVERTER_REGISTRY[key]
+
+
+# --- raw instance rows (predict --input_jsonl and the HTTP server) ----------
+
+def load_raw_image(spec, where: str = "image"):
+    """IMG spec -> decoded PIL image / uint8 array, with actionable errors.
+
+    Accepts a local path string, ``{"b64": <base64 image bytes>}``, or a
+    nested uint8 HWC array. Decode errors surface as ValueError (a client
+    input problem), never as raw OSError/PIL exceptions.
+    """
+    import base64
+    import io
+
+    from PIL import Image
+
+    try:
+        if isinstance(spec, str):
+            img = Image.open(spec)
+            img.load()  # decode NOW so a corrupt file fails here, not later
+            return img
+        if isinstance(spec, dict) and "b64" in spec:
+            img = Image.open(io.BytesIO(base64.b64decode(spec["b64"])))
+            img.load()
+            return img
+        return np.asarray(spec, np.uint8)  # nested lists = raw HWC array
+    except ValueError:
+        raise
+    except Exception as e:  # unreadable path / undecodable bytes / bad shape
+        raise ValueError(f"{where}: unreadable image ({type(e).__name__}: {e})")
+
+
+def build_raw_batch(processor: ViltInputProcessor, model_type: str,
+                    num_images: int, rows: Sequence[dict],
+                    num_choices: Optional[int] = None) -> dict:
+    """Schema-dispatched batch from raw instance rows.
+
+    Row schemas (shared by ``predict --input_jsonl`` and ``climb-serve``):
+      {"text": str, "image": IMG}              single-image tasks
+      {"text": str, "images": [IMG, IMG]}      two-image tasks (NLVR2)
+      {"choices": [str, ...], "image": IMG}    multiple choice (VCR)
+    """
+    if not rows:
+        raise ValueError("empty instance list")
+    if model_type == "multi-choice":
+        bad = [i for i, r in enumerate(rows) if "choices" not in r or "image" not in r]
+        if bad:
+            raise ValueError(f"instances {bad} missing 'choices'/'image' "
+                             "(this task is multiple-choice)")
+        nc = int(num_choices or len(rows[0]["choices"]))
+        for i, r in enumerate(rows):
+            if len(r["choices"]) != nc:
+                raise ValueError(f"instance {i} has {len(r['choices'])} "
+                                 f"choices; expected {nc}")
+        return processor.multi_choice(
+            [r["choices"] for r in rows],
+            [load_raw_image(r["image"], f"instance {i} image")
+             for i, r in enumerate(rows)],
+        )
+    if num_images == 2:
+        bad = [i for i, r in enumerate(rows) if len(r.get("images", ())) != 2]
+        if bad:
+            raise ValueError(f"instances {bad} need 'images': [a, b] "
+                             "(this task is two-image)")
+        return processor(
+            [r["text"] for r in rows],
+            [[load_raw_image(r["images"][0], f"instance {i} images[0]"),
+              load_raw_image(r["images"][1], f"instance {i} images[1]")]
+             for i, r in enumerate(rows)],
+        )
+    bad = [i for i, r in enumerate(rows) if "text" not in r or "image" not in r]
+    if bad:
+        raise ValueError(f"instances {bad} missing 'text'/'image'")
+    return processor(
+        [r["text"] for r in rows],
+        [load_raw_image(r["image"], f"instance {i} image")
+         for i, r in enumerate(rows)],
+    )

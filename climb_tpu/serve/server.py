@@ -33,8 +33,6 @@ API:
        -> {"predictions": [int, ...], "n": int, ["logits": [[...]]]}
 """
 
-import base64
-import io
 import json
 import logging
 import queue
@@ -49,6 +47,10 @@ logger = logging.getLogger(__name__)
 _STOP = object()
 
 
+class OverloadedError(RuntimeError):
+    """Submission rejected because the inference queue is full (HTTP 503)."""
+
+
 class RequestBatcher:
     """Coalesce single-example submissions into fixed-size device batches.
 
@@ -59,28 +61,55 @@ class RequestBatcher:
     """
 
     def __init__(self, run_fn, batch_spec, max_wait_ms: float = 5.0,
-                 submit_timeout_s: float = 120.0):
+                 submit_timeout_s: float = 120.0, max_queued_batches: int = 16):
         self._run_fn = run_fn
         self.batch_spec = dict(batch_spec)  # {key: (shape, dtype_name)}
         self.batch_size = next(iter(self.batch_spec.values()))[0][0]
         self.max_wait_s = max_wait_ms / 1e3
         self.submit_timeout_s = submit_timeout_s
-        self._q = queue.Queue()
+        # bounded: under sustained overload new submissions fail fast
+        # (OverloadedError -> 503) instead of queueing unboundedly
+        self._q = queue.Queue(maxsize=max_queued_batches * self.batch_size)
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "examples": 0, "batches": 0,
                       "batched_examples": 0, "last_batch_ms": None,
-                      "errors": 0}
+                      "errors": 0, "rejected": 0, "abandoned": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="climb-batcher")
         self._thread.start()
 
     # -- request side ------------------------------------------------------
+    def validate_example(self, example: dict) -> None:
+        """Per-example shape/dtype check against the signature, so one bad
+        row fails ITS request at submit time rather than poisoning the whole
+        coalesced device batch (which may carry other clients' examples)."""
+        for key, (shape, _) in self.batch_spec.items():
+            if key in example:
+                got = tuple(np.shape(example[key]))
+                if got != tuple(shape)[1:]:
+                    raise ValueError(
+                        f"'{key}' row shape {got} != artifact signature "
+                        f"{tuple(shape)[1:]}"
+                    )
+
     def submit(self, example: dict) -> np.ndarray:
         """Blockingly run one example; returns its logits row."""
+        self.validate_example(example)
         done = threading.Event()
-        item = {"example": example, "done": done, "result": None, "error": None}
-        self._q.put(item)
+        item = {"example": example, "done": done, "result": None,
+                "error": None, "abandoned": False}
+        try:
+            self._q.put(item, timeout=self.max_wait_s + 1.0)
+        except queue.Full:
+            with self._lock:
+                self.stats["rejected"] += 1
+            raise OverloadedError(
+                f"inference queue full ({self._q.maxsize} examples pending)"
+            )
         if not done.wait(self.submit_timeout_s):
+            item["abandoned"] = True  # batcher drops it instead of running it
+            with self._lock:
+                self.stats["abandoned"] += 1
             raise TimeoutError(
                 f"inference did not complete in {self.submit_timeout_s:.0f}s"
             )
@@ -112,6 +141,11 @@ class RequestBatcher:
                     self._fail(items, RuntimeError("server shutting down"))
                     return
                 items.append(nxt)
+            # don't burn device time on rows whose submitter already timed
+            # out (nobody is waiting for the result)
+            items = [it for it in items if not it["abandoned"]]
+            if not items:
+                continue
             try:
                 batch = self._assemble([it["example"] for it in items])
                 t0 = time.perf_counter()
@@ -157,16 +191,6 @@ class RequestBatcher:
         return batch
 
 
-def _load_image(spec):
-    from PIL import Image
-
-    if isinstance(spec, str):
-        return Image.open(spec)
-    if isinstance(spec, dict) and "b64" in spec:
-        return Image.open(io.BytesIO(base64.b64decode(spec["b64"])))
-    return np.asarray(spec, np.uint8)  # nested lists = raw HWC array
-
-
 class InferenceService:
     """Instances -> processor -> batcher -> per-example logits."""
 
@@ -195,44 +219,17 @@ class InferenceService:
         )
 
     def preprocess(self, instances) -> list:
-        """Instances -> list of per-example dicts (processor output rows)."""
-        if not instances:
-            raise ValueError("empty 'instances'")
+        """Instances -> list of per-example dicts (processor output rows).
+        Shares the schema dispatch with predict --input_jsonl
+        (data/processor.py::build_raw_batch)."""
+        from climb_tpu.data.processor import build_raw_batch
+
         meta = self.meta
-        proc = self.processor
-        if meta.get("model_type") == "multi-choice":
-            bad = [i for i, r in enumerate(instances) if "choices" not in r]
-            if bad:
-                raise ValueError(f"instances {bad} missing 'choices' "
-                                 f"(task {meta['task_key']} is multiple-choice)")
-            nc = int(meta.get("num_choices") or len(instances[0]["choices"]))
-            for i, r in enumerate(instances):
-                if len(r["choices"]) != nc:
-                    raise ValueError(
-                        f"instance {i} has {len(r['choices'])} choices; "
-                        f"artifact expects {nc}")
-            batch = proc.multi_choice(
-                [r["choices"] for r in instances],
-                [_load_image(r["image"]) for r in instances],
-            )
-        elif int(meta.get("num_images", 1)) == 2:
-            bad = [i for i, r in enumerate(instances)
-                   if len(r.get("images", ())) != 2]
-            if bad:
-                raise ValueError(f"instances {bad} need 'images': [a, b] "
-                                 f"(task {meta['task_key']} is two-image)")
-            batch = proc(
-                [r["text"] for r in instances],
-                [[_load_image(r["images"][0]), _load_image(r["images"][1])]
-                 for r in instances],
-            )
-        else:
-            bad = [i for i, r in enumerate(instances)
-                   if "text" not in r or "image" not in r]
-            if bad:
-                raise ValueError(f"instances {bad} missing 'text'/'image'")
-            batch = proc([r["text"] for r in instances],
-                         [_load_image(r["image"]) for r in instances])
+        batch = build_raw_batch(
+            self.processor, meta.get("model_type", "classification"),
+            int(meta.get("num_images", 1)), instances,
+            num_choices=int(meta.get("num_choices") or 0) or None,
+        )
         n = len(instances)
         return [{k: v[i] for k, v in batch.items()} for i in range(n)]
 
@@ -301,12 +298,15 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": f"no route {self.path}"})
 
     MAX_BODY_BYTES = 256 * 1024 * 1024
+    timeout = 300  # socket timeout: a stalled client can't pin the thread
 
     def do_POST(self):
         if self.path != "/v1/predict":
             return self._json(404, {"error": f"no route {self.path}"})
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length < 0:
+                return self._json(400, {"error": "invalid Content-Length"})
             if length > self.MAX_BODY_BYTES:
                 return self._json(413, {
                     "error": f"request body {length} bytes exceeds "
@@ -319,6 +319,8 @@ class _Handler(BaseHTTPRequestHandler):
                 instances, return_logits=bool(req.get("return_logits"))
             )
             self._json(200, out)
+        except OverloadedError as e:
+            self._json(503, {"error": str(e)})
         except (ValueError, KeyError, TypeError) as e:
             self._json(400, {"error": str(e)})
         except Exception as e:  # noqa: BLE001

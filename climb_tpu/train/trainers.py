@@ -503,6 +503,11 @@ class LowShotVLTaskTrainer(VLTaskTrainer):
     low_shot = True
 
     def train(self, model: CLModel, replay_memory=None, ewc=None, distill=None):
+        if replay_memory is not None or ewc is not None or distill is not None:
+            logger.warning(
+                "low-shot training ignores CL algorithm hooks (reference "
+                "LowShot*Trainer semantics, e.g. train_snli_ve.py:269-347)"
+            )
         return super().train(model, replay_memory=None, ewc=None)
 
 

@@ -150,28 +150,34 @@ def test_multi_instance_request_spans_batches(server, artifact):
                                    rtol=0, atol=0)
 
 
-def test_concurrent_requests_coalesce(server):
-    with server.service.batcher._lock:
-        before = dict(server.service.batcher.stats)
-    results = [None] * BS
+def test_concurrent_requests_coalesce(artifact):
+    # dedicated server with a coalescing window (3s) far wider than any
+    # thread-start/preprocess skew this 1-core VM can produce
+    path, _ = artifact
+    srv = create_server(path, port=0, max_wait_ms=3000.0,
+                        tokenizer=HashTokenizer(), warmup=False)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        results = [None] * BS
 
-    def call(i):
-        results[i] = _post(server, {"instances": _instances(1, seed=10 + i)})
+        def call(i):
+            results[i] = _post(srv, {"instances": _instances(1, seed=10 + i)})
 
-    threads = [threading.Thread(target=call, args=(i,)) for i in range(BS)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    assert all(r[0] == 200 for r in results)
-    with server.service.batcher._lock:
-        after = dict(server.service.batcher.stats)
-    new_batches = after["batches"] - before["batches"]
-    new_examples = after["batched_examples"] - before["batched_examples"]
-    assert new_examples == BS
-    # 4 one-example requests land in fewer than 4 device batches (the 300ms
-    # coalescing window is far wider than the submission skew)
-    assert new_batches < BS
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(BS)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert all(r[0] == 200 for r in results)
+        with srv.service.batcher._lock:
+            stats = dict(srv.service.batcher.stats)
+        assert stats["batched_examples"] == BS
+        # 4 one-example requests land in fewer than 4 device batches
+        assert stats["batches"] < BS
+    finally:
+        srv.shutdown()
+        srv.service.close()
 
 
 def test_error_responses(server):
@@ -194,6 +200,78 @@ def test_error_responses(server):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 404
+
+
+def test_batcher_overload_and_abandonment():
+    """A full queue rejects fast (503 semantics) instead of growing
+    unboundedly, and rows whose submitter timed out never reach the device."""
+    import time as _time
+
+    from climb_tpu.serve.server import OverloadedError
+
+    ran = []
+    gate = threading.Event()
+
+    def slow_run(batch):
+        gate.wait(10.0)
+        ran.append(int(np.asarray(batch["valid"]).sum()))
+        return (np.zeros((2, 3), np.float32),)
+
+    spec = {"x": ((2, 3), "float32"), "valid": ((2,), "float32")}
+    b = RequestBatcher(slow_run, spec, max_wait_ms=1.0,
+                       submit_timeout_s=0.2, max_queued_batches=1)
+    try:
+        # the worker grabs the first row immediately and blocks on `gate`;
+        # 2 more rows fill the bounded queue (maxsize = 1 batch = 2)
+        t0 = threading.Thread(
+            target=lambda: pytest.raises(TimeoutError, b.submit,
+                                         {"x": np.zeros(3, np.float32)}))
+        t0.start()
+        _time.sleep(0.05)
+        fillers = []
+        for _ in range(2):
+            th = threading.Thread(
+                target=lambda: pytest.raises(TimeoutError, b.submit,
+                                             {"x": np.zeros(3, np.float32)}))
+            th.start()
+            fillers.append(th)
+        _time.sleep(0.1)
+        with pytest.raises(OverloadedError, match="queue full"):
+            b.submit({"x": np.zeros(3, np.float32)})
+        t0.join()
+        for th in fillers:
+            th.join()
+        # all submitters have timed out; release the worker — the queued
+        # (abandoned) rows must be dropped, not executed
+        gate.set()
+        _time.sleep(0.3)
+        with b._lock:
+            stats = dict(b.stats)
+        assert stats["rejected"] >= 1
+        assert stats["abandoned"] >= 2  # timing may reject rather than
+        # abandon one filler on a very slow host
+        # only the first row (grabbed before abandonment) may have run
+        assert stats["batched_examples"] <= 1
+    finally:
+        gate.set()
+        b.close()
+
+
+def test_unreadable_image_is_a_client_error(server):
+    status = None
+    try:
+        _post(server, {"instances": [
+            {"text": "hi", "image": "/no/such/file.jpg"}]})
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 400 and "unreadable image" in body["error"]
+
+    try:
+        _post(server, {"instances": [
+            {"text": "hi", "image": {"b64": "bm90IGFuIGltYWdl"}}]})
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 400 and "unreadable image" in body["error"]
 
 
 def test_batcher_zero_fills_signature_and_validates_rows():
