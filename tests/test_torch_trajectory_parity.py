@@ -153,3 +153,197 @@ def test_loss_trajectory_matches_reference():
     # Measured agreement is ~2e-7 relative; 1e-5 leaves platform headroom.
     np.testing.assert_allclose(my_losses, ref_losses, rtol=1e-5, atol=1e-6)
     assert abs(my_losses[-1] - my_losses[0]) > 1e-5  # actually trained
+
+
+# ---------------------------------------------------------------------------
+# The same pinning for the other upstream loss/forward compositions:
+# VQA's soft-target BCE (train_vqa.py:95,157) and NLVR2's two-pass
+# image-pair forward (vilt.py:263-307) + CE. (VCR's mc_ce shares the CE
+# codepath and its fold==sequential equivalence is pinned separately in
+# test_multipass_equivalence.py; its head's Dropout(0.1) makes a cross-
+# framework trajectory comparison ill-defined.)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_hf_vilt(modality_type_vocab_size=2):
+    torch.manual_seed(0)
+    hf_cfg = transformers.ViltConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=HIDDEN * 2,
+        image_size=64, patch_size=32, max_position_embeddings=40,
+        max_image_length=-1, modality_type_vocab_size=modality_type_vocab_size,
+    )
+    vilt = transformers.ViltModel(hf_cfg)
+    with torch.no_grad():
+        vilt.embeddings.position_embeddings.normal_(0, 0.02)
+        vilt.embeddings.cls_token.normal_(0, 0.02)
+    return vilt
+
+
+def _torch_head(in_dim, num_labels):
+    return torch.nn.Sequential(
+        torch.nn.Linear(in_dim, HIDDEN * 2),
+        torch.nn.LayerNorm(HIDDEN * 2),
+        torch.nn.GELU(),
+        torch.nn.Linear(HIDDEN * 2, num_labels),
+    )
+
+
+def _torch_optimizer(full):
+    no_decay = ["bias", "LayerNorm.weight"]
+    grouped = [
+        {"params": [p for n, p in full.named_parameters()
+                    if not any(nd in n for nd in no_decay)], "weight_decay": WD},
+        {"params": [p for n, p in full.named_parameters()
+                    if any(nd in n for nd in no_decay)], "weight_decay": 0.0},
+    ]
+    opt = torch.optim.AdamW(grouped, lr=LR, eps=EPS, betas=(0.9, 0.98))
+    sched = transformers.get_polynomial_decay_schedule_with_warmup(
+        opt, int(TOTAL_STEPS * WARMUP_RATIO), TOTAL_STEPS, lr_end=0, power=1
+    )
+    return opt, sched
+
+
+def _my_trajectory(cfg, spec, loss_type, vilt_params, head_params, batch):
+    module = ViltContinualLearner(cfg=cfg, head_specs=(spec,))
+    init_batch = dict(batch)
+    if init_batch["pixel_values"].ndim == 5:  # init_all wants a single image
+        init_batch["pixel_values"] = init_batch["pixel_values"][:, 0]
+        init_batch["patch_hw"] = init_batch["patch_hw"][:, 0]
+    params = dict(module.init(jax.random.PRNGKey(0), init_batch,
+                              method=ViltContinualLearner.init_all)["params"])
+    params["vilt"] = vilt_params
+    params[f"head_{spec.task_key.replace('-', '_')}"] = head_params
+    tx = make_optimizer(params, lr=LR, total_steps=TOTAL_STEPS,
+                        warmup_ratio=WARMUP_RATIO, weight_decay=WD,
+                        adam_epsilon=EPS)
+    state = TrainState.create(apply_fn=module.apply, params=params, tx=tx)
+    step = make_train_step(module, spec.task_key, loss_type, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_vqa_bce_trajectory_matches_reference():
+    """VQA: BCEWithLogits(reduction='mean') * num_labels over soft target
+    scores (reference train_vqa.py:95,157) + the shared optimizer step."""
+    num_answers = 7
+    vilt = _tiny_hf_vilt()
+    head = _torch_head(HIDDEN, num_answers)
+
+    rng = np.random.RandomState(1)
+    ids = rng.randint(1, VOCAB, size=(B, TEXT)).astype(np.int32)
+    mask = np.ones((B, TEXT), np.float32)
+    pixels = rng.rand(B, H, W, 3).astype(np.float32)
+    # VQA soft scores live in {0, 0.3, 0.6, 0.9, 1.0} (utils/vqa_utils.py)
+    scores = rng.choice([0.0, 0.3, 0.6, 0.9, 1.0], size=(B, num_answers)).astype(np.float32)
+
+    cfg = ViltConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, num_layers=LAYERS,
+        num_heads=HEADS, intermediate_size=HIDDEN * 2,
+        image_height=H, image_width=W, patch_size=32, pretrain_image_size=64,
+    )
+    vilt_params = jax.tree_util.tree_map(np.array, import_hf_vilt(vilt.state_dict(), cfg))
+    head_params = _head_to_flax(head)
+
+    full = torch.nn.ModuleDict({"vilt_encoder": vilt, "task_layer": head})
+    full.train()
+    opt, sched = _torch_optimizer(full)
+    t_ids = torch.tensor(ids, dtype=torch.long)
+    t_mask = torch.tensor(mask)
+    t_px = torch.tensor(pixels).permute(0, 3, 1, 2)
+    t_pm = torch.ones(B, H, W, dtype=torch.long)
+    t_scores = torch.tensor(scores)
+    crit = torch.nn.BCEWithLogitsLoss(reduction="mean")
+    ref_losses = []
+    for _ in range(STEPS):
+        out = vilt(input_ids=t_ids, attention_mask=t_mask,
+                   pixel_values=t_px, pixel_mask=t_pm)
+        logits = head(out.pooler_output)
+        loss = crit(logits, t_scores) * t_scores.shape[1]
+        loss.backward()
+        opt.step()
+        sched.step()
+        opt.zero_grad()
+        ref_losses.append(float(loss.detach()))
+
+    spec = HeadSpec(task_key="vqa", model_type="classification",
+                    num_labels=num_answers, num_images=1, num_choices=None)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "text_mask": jnp.asarray(mask),
+        "pixel_values": jnp.asarray(pixels),
+        "patch_hw": jnp.asarray([[H // 32, W // 32]] * B, jnp.int32),
+        "target_scores": jnp.asarray(scores),
+    }
+    my_losses = _my_trajectory(cfg, spec, "vqa_bce", vilt_params, head_params, batch)
+    np.testing.assert_allclose(my_losses, ref_losses, rtol=1e-5, atol=1e-6)
+    assert abs(my_losses[-1] - my_losses[0]) > 1e-5
+
+
+def test_nlvr2_pair_trajectory_matches_reference():
+    """NLVR2: one encoder pass per image with image_token_type_idx=i+1,
+    concat pooled -> classification head -> CE (reference vilt.py:263-307,
+    train_nlvr2.py), trained with the shared optimizer step. Pins the
+    batch-folded pair forward's GRADIENTS (not just logits) to the
+    reference's sequential two-pass formulation."""
+    vilt = _tiny_hf_vilt(modality_type_vocab_size=3)
+    head = _torch_head(HIDDEN * 2, 2)
+
+    rng = np.random.RandomState(2)
+    ids = rng.randint(1, VOCAB, size=(B, TEXT)).astype(np.int32)
+    mask = np.ones((B, TEXT), np.float32)
+    pixels = rng.rand(B, 2, H, W, 3).astype(np.float32)
+    labels = rng.randint(0, 2, size=(B,)).astype(np.int32)
+
+    cfg = ViltConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, num_layers=LAYERS,
+        num_heads=HEADS, intermediate_size=HIDDEN * 2,
+        image_height=H, image_width=W, patch_size=32, pretrain_image_size=64,
+        modality_type_vocab_size=3,
+    )
+    vilt_params = jax.tree_util.tree_map(np.array, import_hf_vilt(vilt.state_dict(), cfg))
+    head_params = _head_to_flax(head)
+
+    full = torch.nn.ModuleDict({"vilt_encoder": vilt, "task_layer": head})
+    full.train()
+    opt, sched = _torch_optimizer(full)
+    t_ids = torch.tensor(ids, dtype=torch.long)
+    t_mask = torch.tensor(mask)
+    t_px = torch.tensor(pixels).permute(0, 1, 4, 2, 3)
+    t_pm = torch.ones(B, H, W, dtype=torch.long)
+    t_y = torch.tensor(labels, dtype=torch.long)
+    ref_losses = []
+    for _ in range(STEPS):
+        pooled = [
+            vilt(input_ids=t_ids, attention_mask=t_mask,
+                 pixel_values=t_px[:, i], pixel_mask=t_pm,
+                 image_token_type_idx=i + 1).pooler_output
+            for i in range(2)
+        ]
+        logits = head(torch.cat(pooled, dim=-1))
+        loss = torch.nn.functional.cross_entropy(logits, t_y)
+        loss.backward()
+        opt.step()
+        sched.step()
+        opt.zero_grad()
+        ref_losses.append(float(loss.detach()))
+
+    spec = HeadSpec(task_key="nlvr2", model_type="classification",
+                    num_labels=2, num_images=2, num_choices=None)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "text_mask": jnp.asarray(mask),
+        "pixel_values": jnp.asarray(pixels),
+        "patch_hw": jnp.asarray(
+            np.tile([[H // 32, W // 32]], (B, 2, 1)), jnp.int32
+        ),
+        "labels": jnp.asarray(labels),
+    }
+    my_losses = _my_trajectory(cfg, spec, "ce", vilt_params, head_params, batch)
+    np.testing.assert_allclose(my_losses, ref_losses, rtol=1e-5, atol=1e-6)
+    assert abs(my_losses[-1] - my_losses[0]) > 1e-5
