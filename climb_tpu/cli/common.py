@@ -76,9 +76,13 @@ def add_tpu_args(parser: argparse.ArgumentParser):
     parser.add_argument("--remat_policy", type=str, default="full",
                         choices=["full", "dots", "selective"],
                         help="What remat recomputes in backward.")
-    parser.add_argument("--grad_accum_steps", type=int, default=1,
+    parser.add_argument("--grad_accum_steps", default=1,
+                        type=lambda s: s if s == "auto" else int(s),
                         help="Split each batch into k microbatches and average "
-                             "gradients inside one step (memory vs throughput).")
+                             "gradients inside one step (memory vs throughput); "
+                             "'auto' picks the measured-fastest k per batch "
+                             "shape (recommended with bucketing — the optimum "
+                             "shifts with sequence length).")
     parser.add_argument("--scan_unroll", type=int, default=1,
                         help="Unroll factor for the encoder layer scan; full "
                              "unroll (=num_layers) trades compile time for "

@@ -157,6 +157,53 @@ def _encoder_subtree(params: dict) -> dict:
     return params
 
 
+# Microbatch token budget for the auto grad-accum policy, fit to v5e
+# measurements (exp_scripts/bench_accum_width.py): the optimum microbatch
+# shrinks as the live activation set per sequence grows —
+#   S=281 -> microbatch 16 (4496 tok), S=209-217 -> 32 (~6.8k),
+#   S=125 -> whole batch 64 (8000 tok);
+# i.e. "largest microbatch whose encoder-token count stays <= ~8k".
+AUTO_ACCUM_TOKEN_BUDGET = 8000
+
+
+def auto_grad_accum(seq_len: int, n_seqs: int,
+                    token_budget: int = AUTO_ACCUM_TOKEN_BUDGET) -> int:
+    """Pick grad_accum_steps for a batch of ``n_seqs`` encoder sequences of
+    length ``seq_len``: the smallest power-of-2 divisor of ``n_seqs`` whose
+    microbatch holds <= ``token_budget`` encoder tokens (falling back to the
+    largest power-of-2 divisor when even that is over budget). Any accum
+    value yields the same optimizer trajectory (tests/test_grad_accum.py);
+    this only picks the fastest schedule per bucketed batch shape."""
+    accum = 1
+    while (n_seqs // accum) * seq_len > token_budget and n_seqs % (accum * 2) == 0:
+        accum *= 2
+    return accum
+
+
+def auto_grad_accum_for_batch(batch: dict, patch_size: int,
+                              token_budget: int = AUTO_ACCUM_TOKEN_BUDGET) -> int:
+    """Derive the auto accum from a concrete batch's (possibly bucketed)
+    shapes: per-pass sequence length = text_len + [CLS] + patch count, and
+    the encoder-sequence count includes the image-pair / multi-choice fold."""
+    ids = batch["input_ids"]
+    pv = batch["pixel_values"]
+    text_len = ids.shape[-1]
+    h, w = (pv.shape[-3], pv.shape[-2])
+    seq_len = text_len + 1 + (h // patch_size) * (w // patch_size)
+    n_seqs = ids.shape[0]
+    if ids.ndim == 3:  # multi-choice fold (B, C, L)
+        n_seqs *= ids.shape[1]
+    elif pv.ndim == 5:  # image-pair fold (B, 2, H, W, 3)
+        n_seqs *= pv.shape[1]
+    # accum splits the BATCH axis, so it must divide batch size; fold
+    # multiplies sequences per microbatch but not the splittable axis
+    accum = auto_grad_accum(seq_len, n_seqs, token_budget)
+    bs = ids.shape[0]
+    while bs % accum:
+        accum //= 2
+    return max(1, accum)
+
+
 def make_forward_fn(model, task_key: Optional[str], extra_vars=None) -> Callable:
     """Uniform forward closure over CL models (task dispatch) and classifiers.
 

@@ -200,16 +200,43 @@ class VLTaskTrainer(TaskTrainer):
             trainable_mask=model.trainable_mask,
         )
 
+    def _make_train_step_dispatcher(self, model: CLModel):
+        """The jitted train step, honoring --grad_accum_steps.
+
+        'auto' picks the measured-fastest microbatch count PER BATCH SHAPE
+        (bucketed runs see several shapes per epoch; the optimum shifts with
+        sequence length — train_step.auto_grad_accum): one step fn is built
+        and cached per accum value. Any accum gives the same optimizer
+        trajectory (tests/test_grad_accum.py), so this is purely a schedule
+        choice."""
+        accum_arg = getattr(self.args, "grad_accum_steps", 1)
+        make = lambda a: make_train_step(
+            model.module, self.task_key, self.loss_type,
+            model.cfg.compute_dtype, grad_accum_steps=a,
+        )
+        if str(accum_arg) != "auto":
+            return make(int(accum_arg))
+        from climb_tpu.train.train_step import auto_grad_accum_for_batch
+
+        steps = {}
+        patch_size = model.cfg.patch_size
+
+        def dispatch(state, batch, rng, ewc_ref=None, fd_ref=None):
+            a = auto_grad_accum_for_batch(batch, patch_size)
+            fn = steps.get(a)
+            if fn is None:
+                fn = steps[a] = make(a)
+            return fn(state, batch, rng, ewc_ref, fd_ref)
+
+        return dispatch
+
     def train(self, model: CLModel, replay_memory=None, ewc=None, distill=None):
         """Train on this task; returns (best_score, model-with-best-params)."""
         tx = self.make_tx(model)
         state = TrainState.create(
             apply_fn=model.module.apply, params=model.params, tx=tx
         )
-        train_step = make_train_step(
-            model.module, self.task_key, self.loss_type, model.cfg.compute_dtype,
-            grad_accum_steps=getattr(self.args, "grad_accum_steps", 1),
-        )
+        train_step = self._make_train_step_dispatcher(model)
         log_freq = wandb_logger.get_log_freq()
         replay_freq = getattr(self.args, "replay_frequency", 100)
 

@@ -122,3 +122,84 @@ def test_grad_accum_exact_with_padded_batch(rng):
     np.testing.assert_allclose(loss4, loss1, rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p4)):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+
+def test_auto_grad_accum_policy_anchors():
+    """The 'auto' policy must reproduce the measured v5e optima
+    (exp_scripts/bench_accum_width.py): accum4 at the full canvas (S=281),
+    accum2 at the 512-wide buckets (S=209/217), whole-batch at 288-wide
+    (S=125); and never pick an accum that does not divide the batch."""
+    from climb_tpu.train.train_step import (
+        auto_grad_accum,
+        auto_grad_accum_for_batch,
+    )
+
+    assert auto_grad_accum(281, 64) == 4
+    assert auto_grad_accum(265, 64) == 4  # 640w/24t: microbatch32 is 8480 tok
+    assert auto_grad_accum(217, 64) == 2
+    assert auto_grad_accum(209, 64) == 2
+    assert auto_grad_accum(233, 64) == 2
+    assert auto_grad_accum(125, 64) == 1  # 8000 tok fits the budget exactly
+
+    def batch(bs, text_len, h, w, fold_images=None, fold_choices=None):
+        pv_shape = (bs, h, w, 3) if fold_images is None else (bs, fold_images, h, w, 3)
+        ids_shape = (bs, text_len) if fold_choices is None else (bs, fold_choices, text_len)
+        return {
+            "input_ids": np.zeros(ids_shape, np.int32),
+            "pixel_values": np.zeros(pv_shape, np.uint8),
+        }
+
+    # single image, reference shapes
+    assert auto_grad_accum_for_batch(batch(64, 40, 384, 640), 32) == 4
+    assert auto_grad_accum_for_batch(batch(64, 16, 384, 512), 32) == 2
+    assert auto_grad_accum_for_batch(batch(64, 16, 384, 288), 32) == 1
+    # NLVR2 pair fold: 32 examples = 64 encoder sequences at S=281 -> 4
+    assert auto_grad_accum_for_batch(batch(32, 40, 384, 640, fold_images=2), 32) == 4
+    # VCR choice fold: 16 examples = 64 sequences at S=281 -> 4
+    assert auto_grad_accum_for_batch(batch(16, 40, 384, 640, fold_choices=4), 32) == 4
+    # accum always divides the batch (bs=24: only 1/2/4/8 divide)
+    for bs in (24, 48, 64, 6, 7):
+        a = auto_grad_accum_for_batch(batch(bs, 40, 384, 640), 32)
+        assert bs % a == 0
+
+
+def test_auto_dispatcher_matches_fixed_accum(rng):
+    """--grad_accum_steps auto dispatches per batch shape; the resulting
+    update must equal the fixed-accum step's (any accum is
+    trajectory-equivalent; the dispatcher must not change that)."""
+    import optax
+
+    from climb_tpu.train.trainers import VLTaskTrainer
+
+    base = dict(
+        batch_size=8, seed=0, ordered_cl_tasks=["snli-ve"], encoder_name="vilt",
+        pretrained_model_name="scratch", tiny=True, synthetic=True,
+        image_height=64, image_width=96,
+    )
+    model = create_cl_model(SimpleNamespace(**base), task_configs)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(1, 100, (8, 40)), jnp.int32),
+        "text_mask": jnp.ones((8, 40)),
+        "pixel_values": jnp.asarray(rng.randint(0, 255, (8, 64, 96, 3)), jnp.uint8),
+        "patch_hw": jnp.ones((8, 2), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 3, (8,)), jnp.int32),
+    }
+
+    def run(accum_arg):
+        trainer = VLTaskTrainer(
+            SimpleNamespace(**base, grad_accum_steps=accum_arg),
+            task_configs, model_config=None, task_key="snli-ve",
+        )
+        params = jax.tree_util.tree_map(jnp.array, model.params)
+        state = TrainState.create(
+            apply_fn=model.module.apply, params=params, tx=optax.sgd(0.1)
+        )
+        step = trainer._make_train_step_dispatcher(model)
+        state, m = step(state, batch, jax.random.PRNGKey(7))
+        return jax.device_get(state.params), float(m["loss"])
+
+    p_auto, loss_auto = run("auto")
+    p1, loss1 = run(1)
+    np.testing.assert_allclose(loss_auto, loss1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_auto), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
