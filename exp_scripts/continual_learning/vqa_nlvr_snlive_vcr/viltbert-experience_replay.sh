@@ -15,5 +15,5 @@ python -m climb_tpu.cli.train_upstream_continual_learning --encoder_name viltber
     --output_dir $OUT_DIR \
     --do_wandb_logging \
     --compute_dtype bfloat16 --remat --remat_policy selective \
-    --grad_accum_steps 4 --scan_unroll 12 \
+    --grad_accum_steps auto --scan_unroll 12 \
     --batch_size 60 "$@"

@@ -13,5 +13,5 @@ python -m climb_tpu.cli.train_lowshot_multimodal --encoder_name vilt \
     --climb_data_dir $DATA_DIR \
     --output_dir $OUT_DIR \
     --compute_dtype bfloat16 --remat --remat_policy selective \
-    --grad_accum_steps 4 --scan_unroll 12 \
+    --grad_accum_steps auto --scan_unroll 12 \
     --batch_size 64 "$@"
