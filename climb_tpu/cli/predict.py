@@ -74,6 +74,14 @@ def build_parser():
                         help="Comma-separated lowering platforms for "
                              "--export_model (default: tpu,cpu — one "
                              "artifact serves both).")
+    parser.add_argument("--export_batch_sizes", type=str, default=None,
+                        help="Comma-separated batch-size LADDER for "
+                             "--export_model (e.g. '1,8'): the artifact "
+                             "carries one program per size plus the full "
+                             "signature batch, and the HTTP server pads each "
+                             "coalesced batch only to the smallest program "
+                             "that fits it — low-load requests get small-"
+                             "batch latency instead of full-batch latency.")
     parser.add_argument("--from_export", type=str, default=None,
                         help="Serve a --export_model artifact: no encoder "
                              "build, no checkpoint load — batch geometry, "
@@ -347,8 +355,12 @@ def _do_export(args, model, trainer, eval_step):
     # loader may use --eval_batch_size), not the training batch size flag
     meta["batch_size"] = int(np.shape(next(iter(batch.values())))[0])
     platforms = tuple(p for p in args.export_platforms.split(",") if p)
+    ladder = None
+    if getattr(args, "export_batch_sizes", None):
+        ladder = [int(b) for b in args.export_batch_sizes.split(",") if b]
     meta = export_eval_step(
-        eval_step, model.params, batch, args.export_model, meta, platforms
+        eval_step, model.params, batch, args.export_model, meta, platforms,
+        batch_sizes=ladder,
     )
     return meta
 

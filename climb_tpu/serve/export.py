@@ -49,6 +49,13 @@ def _spec_tree(tree):
     )
 
 
+def _batch_specs(host_batch: dict, bs: int) -> dict:
+    return {
+        k: jax.ShapeDtypeStruct((bs,) + np.shape(v)[1:], np.asarray(v).dtype)
+        for k, v in host_batch.items()
+    }
+
+
 def export_eval_step(
     eval_step,
     params,
@@ -56,6 +63,7 @@ def export_eval_step(
     path: str,
     meta: dict,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    batch_sizes: Optional[Sequence[int]] = None,
 ) -> dict:
     """Serialize ``eval_step(params, batch)`` + params into one file.
 
@@ -65,25 +73,52 @@ def export_eval_step(
     ``meta`` carries the processing config a parameter-free server needs
     (canvas size, text length, head spec, tokenizer name, ...). Returns the
     stored metadata dict (with the signature fields added).
+
+    ``batch_sizes`` optionally adds a BATCH-SIZE LADDER: the same step is
+    lowered once per size (ascending, each <= the signature batch), and the
+    server picks the smallest program that fits the coalesced request count
+    — a lightly loaded server stops paying full-batch MXU time to answer
+    one instance. Sizes ladder by powers of 2 in practice; the signature
+    batch is always included.
     """
     host_params = _to_host(params)
     host_batch = _to_host(batch)
-    exported = jax_export.export(eval_step, platforms=list(platforms))(
-        _spec_tree(host_params), _spec_tree(host_batch)
-    )
+    sig_bs = int(np.shape(next(iter(host_batch.values())))[0])
+    sizes = sorted({int(b) for b in (batch_sizes or ())} | {sig_bs})
+    if sizes[-1] > sig_bs:
+        raise ValueError(
+            f"ladder batch sizes {sizes} exceed the signature batch {sig_bs}"
+        )
+    param_specs = _spec_tree(host_params)
+    programs = {
+        bs: bytes(
+            jax_export.export(eval_step, platforms=list(platforms))(
+                param_specs, _batch_specs(host_batch, bs)
+            ).serialize()
+        )
+        for bs in sizes
+    }
     meta = dict(meta)
     meta["format_version"] = FORMAT_VERSION
     meta["jax_version"] = jax.__version__
     meta["platforms"] = list(platforms)
+    meta["batch_sizes"] = sizes
     meta["batch_spec"] = {
         k: [list(np.shape(v)), np.asarray(v).dtype.name]
         for k, v in host_batch.items()
     }
     payload = {
-        "stablehlo": bytes(exported.serialize()),
+        "stablehlo": programs[sig_bs],
+        # ladder programs below the signature size (absent for single-size
+        # exports, keeping those artifacts byte-compatible with older readers)
+        "stablehlo_by_bs": {
+            str(bs): p for bs, p in programs.items() if bs != sig_bs
+        },
         "params": serialization.to_state_dict(host_params),
         "meta": meta,
     }
+    if not payload["stablehlo_by_bs"]:
+        payload.pop("stablehlo_by_bs")
     blob = serialization.msgpack_serialize(payload)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
@@ -120,21 +155,37 @@ class ExportedModel:
             )
         self.meta = meta
         self.params = payload["params"]
-        self._exported = jax_export.deserialize(bytearray(payload["stablehlo"]))
         self.batch_spec = {
             k: (tuple(shape), dtype)
             for k, (shape, dtype) in meta["batch_spec"].items()
         }
+        sig_bs = next(iter(self.batch_spec.values()))[0][0]
+        self._programs = {
+            sig_bs: jax_export.deserialize(bytearray(payload["stablehlo"]))
+        }
+        for bs, blob in (payload.get("stablehlo_by_bs") or {}).items():
+            self._programs[int(bs)] = jax_export.deserialize(bytearray(blob))
+        self.batch_sizes = tuple(sorted(self._programs))
+        self._exported = self._programs[sig_bs]
 
     @property
     def platforms(self):
         return tuple(self.meta["platforms"])
+
+    def pick_batch_size(self, n: int) -> int:
+        """Smallest ladder program that holds ``n`` examples (the largest
+        program when ``n`` exceeds every ladder size — callers split)."""
+        for bs in self.batch_sizes:
+            if n <= bs:
+                return bs
+        return self.batch_sizes[-1]
 
     def validate_batch(self, batch: dict) -> dict:
         """Check keys/shapes/dtypes against the exported signature.
 
         Extra keys are dropped (dataset loaders may attach side fields the
         export never consumed); missing keys or mismatched shapes raise.
+        The leading (batch) dim may be any ladder size (``batch_sizes``).
         """
         missing = sorted(set(self.batch_spec) - set(batch))
         if missing:
@@ -142,12 +193,19 @@ class ExportedModel:
                 f"exported model input(s) missing from batch: {missing}; "
                 f"expected signature: {self._signature_str()}"
             )
+        got_bs = {tuple(np.shape(batch[k]))[:1] for k in self.batch_spec}
+        if len(got_bs) != 1 or next(iter(got_bs))[0] not in self._programs:
+            raise ValueError(
+                f"batch size(s) {sorted(b[0] for b in got_bs)} not in the "
+                f"artifact's program ladder {list(self.batch_sizes)} "
+                f"(fixed-shape serving; pad to a ladder size or re-export)"
+            )
         out = {}
         for k, (shape, dtype) in self.batch_spec.items():
             v = batch[k]
             got_shape = tuple(np.shape(v))
             got_dtype = np.asarray(v).dtype.name if not hasattr(v, "dtype") else v.dtype.name
-            if got_shape != shape or got_dtype != dtype:
+            if got_shape[1:] != shape[1:] or got_dtype != dtype:
                 raise ValueError(
                     f"batch['{k}'] is {got_dtype}{list(got_shape)}, but the "
                     f"artifact was exported for {dtype}{list(shape)} "
@@ -164,7 +222,9 @@ class ExportedModel:
         )
 
     def __call__(self, batch: dict):
-        return self._exported.call(self.params, self.validate_batch(batch))
+        batch = self.validate_batch(batch)
+        bs = np.shape(next(iter(batch.values())))[0]
+        return self._programs[bs].call(self.params, batch)
 
 
 def make_predict_meta(model, args, spec, loss_type: str) -> dict:

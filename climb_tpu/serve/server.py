@@ -61,10 +61,18 @@ class RequestBatcher:
     """
 
     def __init__(self, run_fn, batch_spec, max_wait_ms: float = 5.0,
-                 submit_timeout_s: float = 120.0, max_queued_batches: int = 16):
+                 submit_timeout_s: float = 120.0, max_queued_batches: int = 16,
+                 batch_size_ladder=None):
         self._run_fn = run_fn
         self.batch_spec = dict(batch_spec)  # {key: (shape, dtype_name)}
         self.batch_size = next(iter(self.batch_spec.values()))[0][0]
+        # batch-size ladder (multi-program artifacts): pad a partial batch
+        # only to the smallest program that fits it, instead of the full
+        # signature batch — a lightly loaded server answers a single request
+        # with the bs=1 program's latency, not the bs=64 program's
+        self.batch_size_ladder = tuple(
+            sorted(batch_size_ladder or (self.batch_size,))
+        )
         self.max_wait_s = max_wait_ms / 1e3
         self.submit_timeout_s = submit_timeout_s
         # bounded: under sustained overload new submissions fail fast
@@ -73,6 +81,7 @@ class RequestBatcher:
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "examples": 0, "batches": 0,
                       "batched_examples": 0, "last_batch_ms": None,
+                      "last_batch_size": None,
                       "errors": 0, "rejected": 0, "abandoned": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="climb-batcher")
@@ -156,6 +165,9 @@ class RequestBatcher:
                     self.stats["batches"] += 1
                     self.stats["batched_examples"] += len(items)
                     self.stats["last_batch_ms"] = round(dt_ms, 2)
+                    self.stats["last_batch_size"] = int(
+                        np.shape(next(iter(batch.values())))[0]
+                    )
                 for i, it in enumerate(items):
                     it["result"] = logits[i]
                     it["done"].set()
@@ -172,9 +184,11 @@ class RequestBatcher:
 
     def _assemble(self, examples) -> dict:
         n = len(examples)
+        target = next((b for b in self.batch_size_ladder if n <= b),
+                      self.batch_size)
         batch = {}
         for key, (shape, dtype) in self.batch_spec.items():
-            out = np.zeros(tuple(shape), dtype)
+            out = np.zeros((target,) + tuple(shape)[1:], dtype)
             if key == "valid":
                 out[:n] = 1.0
             elif key in examples[0]:
@@ -209,8 +223,10 @@ class InferenceService:
             (int(meta["image_height"]), int(meta["image_width"])),
             int(meta["patch_size"]),
         )
-        self.batcher = RequestBatcher(exported, exported.batch_spec,
-                                      max_wait_ms=max_wait_ms)
+        self.batcher = RequestBatcher(
+            exported, exported.batch_spec, max_wait_ms=max_wait_ms,
+            batch_size_ladder=getattr(exported, "batch_sizes", None),
+        )
         # bounded fan-out for multi-instance requests: enough in-flight
         # submissions to fill a few device batches, not a thread per row
         self._pool = ThreadPoolExecutor(
@@ -345,9 +361,14 @@ def create_server(artifact_path: str, host: str = "127.0.0.1", port: int = 0,
     service = InferenceService(exported, tokenizer=tokenizer,
                                max_wait_ms=max_wait_ms)
     if warmup:
-        zero = {k: np.zeros(tuple(shape), dtype)
-                for k, (shape, dtype) in exported.batch_spec.items()}
-        exported(zero)
+        # every ladder program compiles on first call — warm them all so no
+        # request (at any load level) pays lazy initialization
+        for bs in getattr(exported, "batch_sizes", None) or (
+            next(iter(exported.batch_spec.values()))[0][0],
+        ):
+            zero = {k: np.zeros((bs,) + tuple(shape)[1:], dtype)
+                    for k, (shape, dtype) in exported.batch_spec.items()}
+            exported(zero)
     handler = type("Handler", (_Handler,), {"service": service})
     server = ThreadingHTTPServer((host, port), handler)
     server.service = service

@@ -93,10 +93,15 @@ def test_exported_signature_validation(tmp_path):
     extra = dict(batch, valid=np.ones((4,), np.float32))
     served(extra)
 
-    # wrong batch size -> actionable error naming the expected signature
+    # wrong batch size -> actionable error naming the program ladder
     small = {k: v[:2] for k, v in batch.items()}
-    with pytest.raises(ValueError, match="pixel_values|input_ids"):
+    with pytest.raises(ValueError, match="ladder"):
         served(small)
+
+    # wrong trailing shape -> error naming the expected signature
+    cropped = dict(batch, input_ids=batch["input_ids"][:, :-1])
+    with pytest.raises(ValueError, match="input_ids"):
+        served(cropped)
 
     # missing input -> error listing it
     missing = {k: v for k, v in batch.items() if k != "text_mask"}
@@ -275,3 +280,108 @@ def test_export_viltbert(tmp_path):
     export_eval_step(eval_step, model.params, batch, path, {"task_key": "snli-ve"})
     got, _, _ = ExportedModel(path)(batch)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_export_batch_size_ladder(tmp_path):
+    """A ladder export carries one program per batch size; every program
+    computes the same logits as the live eval step on its own row count,
+    and pick_batch_size routes to the smallest program that fits."""
+    from climb_tpu.serve import ExportedModel, export_eval_step
+
+    args = tiny_args()
+    model = create_cl_model(args, task_configs)
+    eval_step = make_eval_step(
+        model.module, "snli-ve", LOSS_TYPES["snli-ve"], model.cfg.compute_dtype
+    )
+    batch = make_batch(model.cfg)  # signature batch = 4
+    path = str(tmp_path / "ladder")
+    meta = export_eval_step(
+        eval_step, model.params, batch, path,
+        {"task_key": "snli-ve", "batch_size": 4}, platforms=("cpu",),
+        batch_sizes=(1, 2),
+    )
+    assert meta["batch_sizes"] == [1, 2, 4]
+
+    served = ExportedModel(path)
+    assert served.batch_sizes == (1, 2, 4)
+    assert served.pick_batch_size(1) == 1
+    assert served.pick_batch_size(2) == 2
+    assert served.pick_batch_size(3) == 4
+    assert served.pick_batch_size(99) == 4
+
+    want = np.asarray(eval_step(model.params, batch)[0])
+    for bs in (1, 2, 4):
+        sub = {k: v[:bs] for k, v in batch.items()}
+        got = np.asarray(served(sub)[0])
+        # same lowered program semantics; row values must match the live
+        # step's corresponding rows (f32 CPU: exact)
+        np.testing.assert_allclose(got, want[:bs], rtol=1e-5, atol=1e-6)
+
+    # a non-ladder batch size still errors actionably
+    with pytest.raises(ValueError, match="ladder"):
+        served({k: v[:3] for k, v in batch.items()})
+
+    # ladder sizes above the signature batch are rejected at export time
+    with pytest.raises(ValueError, match="exceed"):
+        export_eval_step(
+            eval_step, model.params, batch, str(tmp_path / "bad"),
+            {"task_key": "snli-ve"}, platforms=("cpu",), batch_sizes=(8,),
+        )
+
+
+def test_http_server_uses_ladder_for_partial_batches(tmp_path):
+    """With a ladder artifact, a single-instance request at idle must run
+    the bs=1 program (stats.last_batch_size == 1), not pad to the full
+    signature batch — and return the same prediction."""
+    import urllib.request
+
+    from climb_tpu.serve import export_eval_step
+    from climb_tpu.serve.server import create_server
+
+    args = tiny_args()
+    model = create_cl_model(args, task_configs)
+    eval_step = make_eval_step(
+        model.module, "snli-ve", LOSS_TYPES["snli-ve"], model.cfg.compute_dtype
+    )
+    batch = make_batch(model.cfg)
+    cfg = model.cfg
+    meta = {
+        "task_key": "snli-ve", "loss_type": "ce",
+        "model_type": "classification", "num_labels": 3, "num_images": 1,
+        "num_choices": 0, "batch_size": 4,
+        "hidden_size": cfg.hidden_size, "max_text_len": cfg.max_text_len,
+        "image_height": cfg.image_height, "image_width": cfg.image_width,
+        "patch_size": cfg.patch_size, "compute_dtype": str(cfg.compute_dtype),
+        "encoder_name": "vilt", "dense_impl": "xla", "tokenizer": "synthetic",
+    }
+    path = str(tmp_path / "ladder_http")
+    export_eval_step(eval_step, model.params, batch, path, meta,
+                     platforms=("cpu",), batch_sizes=(1, 2))
+
+    server = create_server(path, port=0, max_wait_ms=1.0)
+    try:
+        import threading
+
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        host, port = server.server_address[:2]
+        rng = np.random.RandomState(7)
+        inst = {"text": "a tiny test sentence",
+                "image": rng.randint(0, 255, (48, 64, 3)).tolist()}
+        req = urllib.request.Request(
+            f"http://{host}:{port}/v1/predict",
+            data=json.dumps({"instances": [inst]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["n"] == 1 and len(out["predictions"]) == 1
+
+        with urllib.request.urlopen(
+            f"http://{host}:{port}/stats", timeout=30
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["last_batch_size"] == 1
+    finally:
+        server.shutdown()
+        server.service.close()
