@@ -174,7 +174,8 @@ def bench_aspect_mix(state, train_step, cfg, mix=((512, 7), (640, 2), (288, 1)))
             float(metrics["loss"])
             bdt = min(bdt, time.perf_counter() - t0)
         per_width[w] = BATCH * MEASURE_STEPS / bdt
-    return blended, per_width
+    # the step donates its state arg — the caller must rebind to this copy
+    return blended, per_width, state
 
 
 # The production bucket mix: COCO-like width distribution (70% of photos
@@ -237,7 +238,8 @@ def bench_bucket_mix(
             float(metrics["loss"])
             bdt = min(bdt, time.perf_counter() - t0)
         per_cfg[wt] = BATCH * MEASURE_STEPS / bdt
-    return blended, per_cfg
+    # the step donates its state arg — the caller must rebind to this copy
+    return blended, per_cfg, state
 
 
 def bench_loader_fed(state, train_step, cfg, n_steps: int = 6):
@@ -278,7 +280,8 @@ def bench_loader_fed(state, train_step, cfg, n_steps: int = 6):
         n += BATCH
     float(metrics["loss"])
     dt = time.perf_counter() - t0
-    return n / dt
+    # the step donates its state arg — the caller must rebind to this copy
+    return n / dt, state
 
 
 def bench_ref_preproc(n_images: int = BATCH, trials: int = 3):
@@ -405,11 +408,13 @@ def main():
     # to the fixed canvas (tests/test_aspect_buckets.py,
     # tests/test_text_buckets.py), just without padding FLOPs. Measured here,
     # not quoted. The fixed-canvas reading stays in the JSON for comparison.
+    bucket_results = None  # (blended, per_cfg); reused by --bucket-mix
     if not flags.fixed_only:
         try:
-            blended, per_cfg = bench_bucket_mix(
+            blended, per_cfg, state = bench_bucket_mix(
                 state, train_step, cfg, step_for=step_for
             )
+            bucket_results = (blended, per_cfg)
             total_w = sum(w for _, _, w in BUCKET_MIX)
             blended_gflops = sum(
                 w * train_gflops_per_example(cfg, width=wd, text_len=t)
@@ -438,10 +443,13 @@ def main():
         except Exception as e:  # the graded artifact must never go red over
             # the faster config — fall back to the fixed-canvas headline
             headline["bucket_mix_error"] = f"{type(e).__name__}: {e}"[:200]
+            # a mid-measurement failure may have consumed `state` (the step
+            # donates it) — rebuild so later flag sections stay usable
+            model, cfg, state, train_step = build_state_and_step(args)
     print(json.dumps(headline))
 
     if flags.aspect_mix:
-        blended, per_width = bench_aspect_mix(state, train_step, cfg)
+        blended, per_width, state = bench_aspect_mix(state, train_step, cfg)
         print(
             json.dumps(
                 {
@@ -457,9 +465,12 @@ def main():
         )
 
     if flags.bucket_mix:
-        blended, per_cfg = bench_bucket_mix(
-            state, train_step, cfg, step_for=step_for
-        )
+        if bucket_results is not None:  # the headline already measured it
+            blended, per_cfg = bucket_results
+        else:
+            blended, per_cfg, state = bench_bucket_mix(
+                state, train_step, cfg, step_for=step_for
+            )
         print(
             json.dumps(
                 {
@@ -478,7 +489,7 @@ def main():
         )
 
     if flags.with_loader:
-        loader_ex_s = bench_loader_fed(state, train_step, cfg)
+        loader_ex_s, state = bench_loader_fed(state, train_step, cfg)
         print(
             json.dumps(
                 {

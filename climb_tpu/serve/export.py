@@ -49,6 +49,16 @@ def _spec_tree(tree):
     )
 
 
+def pick_from_ladder(ladder: Sequence[int], n: int) -> int:
+    """Smallest ladder batch size holding ``n`` examples (the largest when
+    ``n`` exceeds every size — callers split). Shared by ExportedModel and
+    the HTTP batcher so the routing rule cannot drift."""
+    for bs in ladder:
+        if n <= bs:
+            return bs
+    return ladder[-1]
+
+
 def _batch_specs(host_batch: dict, bs: int) -> dict:
     return {
         k: jax.ShapeDtypeStruct((bs,) + np.shape(v)[1:], np.asarray(v).dtype)
@@ -184,10 +194,7 @@ class ExportedModel:
     def pick_batch_size(self, n: int) -> int:
         """Smallest ladder program that holds ``n`` examples (the largest
         program when ``n`` exceeds every ladder size — callers split)."""
-        for bs in self.batch_sizes:
-            if n <= bs:
-                return bs
-        return self.batch_sizes[-1]
+        return pick_from_ladder(self.batch_sizes, n)
 
     def validate_batch(self, batch: dict) -> dict:
         """Check keys/shapes/dtypes against the exported signature.
@@ -239,6 +246,9 @@ class ExportedModel:
             self._device_params = jax.tree_util.tree_map(
                 jnp.asarray, self.params
             )
+            # drop the host copy (ViLT-base f32 is ~350 MB); the device tree
+            # serves any remaining .params reader as array-likes
+            self.params = self._device_params
         return self._jit_calls[bs](self._device_params, batch)
 
 

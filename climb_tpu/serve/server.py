@@ -183,9 +183,10 @@ class RequestBatcher:
             it["done"].set()
 
     def _assemble(self, examples) -> dict:
+        from climb_tpu.serve.export import pick_from_ladder
+
         n = len(examples)
-        target = next((b for b in self.batch_size_ladder if n <= b),
-                      self.batch_size)
+        target = pick_from_ladder(self.batch_size_ladder, n)
         batch = {}
         for key, (shape, dtype) in self.batch_spec.items():
             out = np.zeros((target,) + tuple(shape)[1:], dtype)

@@ -167,13 +167,15 @@ AUTO_ACCUM_TOKEN_BUDGET = 8000
 
 
 def auto_grad_accum(seq_len: int, n_seqs: int,
-                    token_budget: int = AUTO_ACCUM_TOKEN_BUDGET) -> int:
+                    token_budget: int = None) -> int:
     """Pick grad_accum_steps for a batch of ``n_seqs`` encoder sequences of
     length ``seq_len``: the smallest power-of-2 divisor of ``n_seqs`` whose
     microbatch holds <= ``token_budget`` encoder tokens (falling back to the
     largest power-of-2 divisor when even that is over budget). Any accum
     value yields the same optimizer trajectory (tests/test_grad_accum.py);
     this only picks the fastest schedule per bucketed batch shape."""
+    if token_budget is None:  # late-bound so the module constant is patchable
+        token_budget = AUTO_ACCUM_TOKEN_BUDGET
     accum = 1
     while (n_seqs // accum) * seq_len > token_budget and n_seqs % (accum * 2) == 0:
         accum *= 2
@@ -181,7 +183,7 @@ def auto_grad_accum(seq_len: int, n_seqs: int,
 
 
 def auto_grad_accum_for_batch(batch: dict, patch_size: int,
-                              token_budget: int = AUTO_ACCUM_TOKEN_BUDGET) -> int:
+                              token_budget: int = None) -> int:
     """Derive the auto accum from a concrete batch's (possibly bucketed)
     shapes: per-pass sequence length = text_len + [CLS] + patch count, and
     the encoder-sequence count includes the image-pair / multi-choice fold."""

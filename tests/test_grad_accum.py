@@ -163,13 +163,19 @@ def test_auto_grad_accum_policy_anchors():
         assert bs % a == 0
 
 
-def test_auto_dispatcher_matches_fixed_accum(rng):
-    """--grad_accum_steps auto dispatches per batch shape; the resulting
-    update must equal the fixed-accum step's (any accum is
-    trajectory-equivalent; the dispatcher must not change that)."""
+def test_auto_dispatcher_matches_fixed_accum(rng, monkeypatch):
+    """--grad_accum_steps auto dispatches per batch shape; with the token
+    budget patched so the tiny batch resolves to accum=4 (and a second,
+    smaller shape to accum=1), the resulting updates must equal the
+    fixed-accum steps' and the dispatcher must cache one step per accum."""
     import optax
 
+    from climb_tpu.train import train_step as ts
     from climb_tpu.train.trainers import VLTaskTrainer
+
+    # tiny batch: S = 40 + 1 + 2*3 = 47 tokens/seq, 8 seqs = 376 tokens.
+    # Budget 100 -> microbatch 2 seqs (94 tok): accum=4 for the full batch.
+    monkeypatch.setattr(ts, "AUTO_ACCUM_TOKEN_BUDGET", 100)
 
     base = dict(
         batch_size=8, seed=0, ordered_cl_tasks=["snli-ve"], encoder_name="vilt",
@@ -184,8 +190,20 @@ def test_auto_dispatcher_matches_fixed_accum(rng):
         "patch_hw": jnp.ones((8, 2), jnp.int32),
         "labels": jnp.asarray(rng.randint(0, 3, (8,)), jnp.int32),
     }
+    # a 32-pixel-wide "bucketed" shape: S = 40 + 1 + 2 = 43... keep it under
+    # budget per whole batch by shrinking text too: S = 8+1+2 = 11, 8 seqs =
+    # 88 tokens <= 100 -> accum=1
+    small = {
+        "input_ids": batch["input_ids"][:, :8],
+        "text_mask": batch["text_mask"][:, :8],
+        "pixel_values": batch["pixel_values"][:, :, :32],
+        "patch_hw": jnp.ones((8, 2), jnp.int32),
+        "labels": batch["labels"],
+    }
+    assert ts.auto_grad_accum_for_batch(batch, 32) == 4
+    assert ts.auto_grad_accum_for_batch(small, 32) == 1
 
-    def run(accum_arg):
+    def run(accum_arg, b):
         trainer = VLTaskTrainer(
             SimpleNamespace(**base, grad_accum_steps=accum_arg),
             task_configs, model_config=None, task_key="snli-ve",
@@ -195,11 +213,19 @@ def test_auto_dispatcher_matches_fixed_accum(rng):
             apply_fn=model.module.apply, params=params, tx=optax.sgd(0.1)
         )
         step = trainer._make_train_step_dispatcher(model)
-        state, m = step(state, batch, jax.random.PRNGKey(7))
+        state, m = step(state, b, jax.random.PRNGKey(7))
         return jax.device_get(state.params), float(m["loss"])
 
-    p_auto, loss_auto = run("auto")
-    p1, loss1 = run(1)
-    np.testing.assert_allclose(loss_auto, loss1, rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(p_auto), jax.tree_util.tree_leaves(p1)):
+    # full batch: auto resolves to accum=4 and matches the fixed-4 step
+    p_auto, loss_auto = run("auto", batch)
+    p4, loss4 = run(4, batch)
+    np.testing.assert_allclose(loss_auto, loss4, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_auto), jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+    # bucketed shape: auto resolves to accum=1 and matches the fixed-1 step
+    p_auto1, loss_auto1 = run("auto", small)
+    p1, loss1 = run(1, small)
+    np.testing.assert_allclose(loss_auto1, loss1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_auto1), jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
