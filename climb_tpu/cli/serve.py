@@ -53,13 +53,27 @@ def main(argv=None):
                            max_wait_ms=args.max_wait_ms, tokenizer=tokenizer)
     host, port = server.server_address[:2]
     logger.info("ready: POST http://%s:%d/v1/predict "
-                "(GET /healthz, /stats; Ctrl-C to stop)", host, port)
+                "(GET /healthz, /stats; Ctrl-C or SIGTERM to stop)", host, port)
+
+    # graceful stop on SIGTERM (k8s/systemd): stop accepting, let in-flight
+    # requests finish (server_close joins handler threads — create_server
+    # sets daemon_threads=False; the 300s socket timeout bounds stragglers)
+    import signal
+    import threading
+
+    def _on_term(signum, frame):
+        logger.warning("signal %d: draining in-flight requests and stopping",
+                       signum)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _on_term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         server.shutdown()
+        server.server_close()  # drain: join in-flight handler threads
         server.service.close()
 
 

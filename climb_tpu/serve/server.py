@@ -372,6 +372,11 @@ def create_server(artifact_path: str, host: str = "127.0.0.1", port: int = 0,
             exported(zero)
     handler = type("Handler", (_Handler,), {"service": service})
     server = ThreadingHTTPServer((host, port), handler)
+    # graceful drain: server_close() joins in-flight handler threads instead
+    # of abandoning daemon threads mid-response (the per-socket timeout
+    # bounds how long a stuck client can delay shutdown)
+    server.daemon_threads = False
+    server.block_on_close = True
     server.service = service
     logger.info(
         "serving %s (task=%s, batch=%d, wait<=%.1fms) on http://%s:%d",

@@ -299,3 +299,55 @@ def test_batcher_zero_fills_signature_and_validates_rows():
             b.submit({"x": np.ones((5,), np.float32)})
     finally:
         b.close()
+
+
+def test_serve_cli_sigterm_drains(artifact):
+    """`python -m climb_tpu.cli.serve` must exit cleanly on SIGTERM after
+    finishing in-flight work (k8s/systemd stop semantics): send a request,
+    SIGTERM the process, assert a 0 exit and the drain log line."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    path, _ = artifact
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no remote-TPU auto-register
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "climb_tpu.cli.serve",
+         "--from_export", path, "--port", "0", "--tokenizer", "synthetic"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        # wait for the ready line (carries the ephemeral port)
+        port = None
+        deadline = time.time() + 120
+        lines = []
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            lines.append(line)
+            if "ready: POST" in line:
+                port = int(line.rsplit(":", 1)[-1].split("/")[0])
+                break
+        assert port, "server never became ready:\n" + "".join(lines)
+
+        rng = np.random.RandomState(0)
+        inst = {"text": "hello", "image": rng.randint(0, 255, (48, 64, 3)).tolist()}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict",
+            data=json.dumps({"instances": [inst]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert json.loads(r.read())["n"] == 1
+
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, out
+        assert "draining" in out + "".join(lines)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
