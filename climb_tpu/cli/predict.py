@@ -82,6 +82,15 @@ def build_parser():
                              "coalesced batch only to the smallest program "
                              "that fits it — low-load requests get small-"
                              "batch latency instead of full-batch latency.")
+    parser.add_argument("--export_canvas_widths", type=str, default=None,
+                        help="Comma-separated canvas-width LADDER for "
+                             "--export_model (e.g. '288,512'; patch-size "
+                             "multiples): the serving analog of aspect "
+                             "bucketing — the HTTP server crops each batch's "
+                             "pixel canvas to the smallest program width "
+                             "holding every image's valid patches, so 4:3 "
+                             "photos stop paying full-canvas FLOPs. Composes "
+                             "with --export_batch_sizes (cross product).")
     parser.add_argument("--from_export", type=str, default=None,
                         help="Serve a --export_model artifact: no encoder "
                              "build, no checkpoint load — batch geometry, "
@@ -358,9 +367,12 @@ def _do_export(args, model, trainer, eval_step):
     ladder = None
     if getattr(args, "export_batch_sizes", None):
         ladder = [int(b) for b in args.export_batch_sizes.split(",") if b]
+    widths = None
+    if getattr(args, "export_canvas_widths", None):
+        widths = [int(w) for w in args.export_canvas_widths.split(",") if w]
     meta = export_eval_step(
         eval_step, model.params, batch, args.export_model, meta, platforms,
-        batch_sizes=ladder,
+        batch_sizes=ladder, canvas_widths=widths,
     )
     return meta
 

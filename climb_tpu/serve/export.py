@@ -59,11 +59,22 @@ def pick_from_ladder(ladder: Sequence[int], n: int) -> int:
     return ladder[-1]
 
 
-def _batch_specs(host_batch: dict, bs: int) -> dict:
-    return {
-        k: jax.ShapeDtypeStruct((bs,) + np.shape(v)[1:], np.asarray(v).dtype)
-        for k, v in host_batch.items()
-    }
+# The canvas-width axis of 'pixel_values': (..., H, W, C) for both single-
+# image (B, H, W, C) and image-pair (B, 2, H, W, C) layouts.
+WIDTH_AXIS = -2
+
+
+def _variant_specs(host_batch: dict, bs: int, width: Optional[int]) -> dict:
+    """ShapeDtypeStructs for one (batch_size, canvas_width) program variant."""
+    specs = {}
+    for k, v in host_batch.items():
+        shape = (bs,) + np.shape(v)[1:]
+        if k == "pixel_values" and width is not None:
+            shape = list(shape)
+            shape[WIDTH_AXIS] = width
+            shape = tuple(shape)
+        specs[k] = jax.ShapeDtypeStruct(shape, np.asarray(v).dtype)
+    return specs
 
 
 def export_eval_step(
@@ -74,6 +85,7 @@ def export_eval_step(
     meta: dict,
     platforms: Sequence[str] = ("tpu", "cpu"),
     batch_sizes: Optional[Sequence[int]] = None,
+    canvas_widths: Optional[Sequence[int]] = None,
 ) -> dict:
     """Serialize ``eval_step(params, batch)`` + params into one file.
 
@@ -84,12 +96,18 @@ def export_eval_step(
     (canvas size, text length, head spec, tokenizer name, ...). Returns the
     stored metadata dict (with the signature fields added).
 
-    ``batch_sizes`` optionally adds a BATCH-SIZE LADDER: the same step is
-    lowered once per size (ascending, each <= the signature batch), and the
-    server picks the smallest program that fits the coalesced request count
-    — a lightly loaded server stops paying full-batch MXU time to answer
-    one instance. Sizes ladder by powers of 2 in practice; the signature
-    batch is always included.
+    Two optional program LADDERS (the cross product is exported):
+
+    - ``batch_sizes``: one program per size (each <= the signature batch);
+      the server pads a coalesced batch only to the smallest program that
+      fits it — a lightly loaded server stops paying full-batch MXU time
+      to answer one instance.
+    - ``canvas_widths``: one program per pixel-canvas width (each a
+      patch-size multiple <= the signature width) — the serving analog of
+      training-time aspect bucketing: a batch of 4:3 photos runs at 512
+      wide instead of paying the 640-canvas padding FLOPs. Results are
+      identical (padding patches are masked out of attention either way;
+      the model derives its grid from the traced pixel shape).
     """
     host_params = _to_host(params)
     host_batch = _to_host(batch)
@@ -99,36 +117,61 @@ def export_eval_step(
         raise ValueError(
             f"ladder batch sizes {sizes} exceed the signature batch {sig_bs}"
         )
+    if canvas_widths and "pixel_values" not in host_batch:
+        raise ValueError("canvas_widths ladder needs a 'pixel_values' input")
+    sig_w = (
+        int(np.shape(host_batch["pixel_values"])[WIDTH_AXIS])
+        if "pixel_values" in host_batch else None
+    )
+    widths = (
+        sorted({int(w) for w in (canvas_widths or ())} | {sig_w})
+        if sig_w is not None else [None]
+    )
+    if sig_w is not None:
+        patch = int(meta.get("patch_size", 0) or 0)
+        bad = [w for w in widths if w > sig_w or w <= 0
+               or (patch and w % patch)]
+        if bad:
+            raise ValueError(
+                f"canvas widths {bad} invalid: each must be a positive "
+                f"patch-size ({patch}) multiple <= the signature width {sig_w}"
+            )
     param_specs = _spec_tree(host_params)
     programs = {
-        bs: bytes(
+        (bs, w): bytes(
             jax_export.export(eval_step, platforms=list(platforms))(
-                param_specs, _batch_specs(host_batch, bs)
+                param_specs, _variant_specs(host_batch, bs, w)
             ).serialize()
         )
         for bs in sizes
+        for w in widths
     }
     meta = dict(meta)
     meta["format_version"] = FORMAT_VERSION
     meta["jax_version"] = jax.__version__
     meta["platforms"] = list(platforms)
     meta["batch_sizes"] = sizes
+    if sig_w is not None:
+        meta["canvas_widths"] = widths
     meta["batch_spec"] = {
         k: [list(np.shape(v)), np.asarray(v).dtype.name]
         for k, v in host_batch.items()
     }
+    sig_key = (sig_bs, widths[-1])
     payload = {
-        "stablehlo": programs[sig_bs],
-        # ladder programs below the signature size (absent for single-size
-        # exports, keeping those artifacts byte-compatible with older readers)
-        "stablehlo_by_bs": {
-            str(bs): p for bs, p in programs.items() if bs != sig_bs
+        "stablehlo": programs[sig_key],
+        # ladder programs besides the full signature (absent for single-
+        # variant exports, keeping those artifacts byte-identical in layout)
+        "stablehlo_variants": {
+            f"{bs}:{w if w is not None else ''}": p
+            for (bs, w), p in programs.items()
+            if (bs, w) != sig_key
         },
         "params": serialization.to_state_dict(host_params),
         "meta": meta,
     }
-    if not payload["stablehlo_by_bs"]:
-        payload.pop("stablehlo_by_bs")
+    if not payload["stablehlo_variants"]:
+        payload.pop("stablehlo_variants")
     blob = serialization.msgpack_serialize(payload)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
@@ -170,20 +213,30 @@ class ExportedModel:
             for k, (shape, dtype) in meta["batch_spec"].items()
         }
         sig_bs = next(iter(self.batch_spec.values()))[0][0]
+        px = self.batch_spec.get("pixel_values")
+        sig_w = px[0][WIDTH_AXIS] if px is not None else None
         self._programs = {
-            sig_bs: jax_export.deserialize(bytearray(payload["stablehlo"]))
+            (sig_bs, sig_w): jax_export.deserialize(
+                bytearray(payload["stablehlo"])
+            )
         }
-        for bs, blob in (payload.get("stablehlo_by_bs") or {}).items():
-            self._programs[int(bs)] = jax_export.deserialize(bytearray(blob))
-        self.batch_sizes = tuple(sorted(self._programs))
-        self._exported = self._programs[sig_bs]
+        for key, blob in (payload.get("stablehlo_variants") or {}).items():
+            bs_s, w_s = key.split(":")
+            self._programs[(int(bs_s), int(w_s) if w_s else None)] = (
+                jax_export.deserialize(bytearray(blob))
+            )
+        self.batch_sizes = tuple(sorted({bs for bs, _ in self._programs}))
+        self.canvas_widths = tuple(
+            sorted({w for _, w in self._programs if w is not None})
+        ) or None
+        self._exported = self._programs[(sig_bs, sig_w)]
         # Serving-path caching: Exported.call builds a FRESH traced call on
         # every invocation (measured ~9 s/call through a remote TPU backend:
         # retrace + executable reload + a full params re-upload each time).
         # Wrap each program's call in one jax.jit and keep params as device
         # arrays, so steady-state serving is a single cached dispatch.
         self._jit_calls = {
-            bs: jax.jit(p.call) for bs, p in self._programs.items()
+            key: jax.jit(p.call) for key, p in self._programs.items()
         }
         self._device_params = None
 
@@ -196,12 +249,20 @@ class ExportedModel:
         program when ``n`` exceeds every ladder size — callers split)."""
         return pick_from_ladder(self.batch_sizes, n)
 
+    def pick_canvas_width(self, needed_w: int) -> Optional[int]:
+        """Smallest width-ladder program whose canvas holds ``needed_w``
+        valid pixel columns (the widest when nothing fits or no ladder)."""
+        if self.canvas_widths is None:
+            return None
+        return pick_from_ladder(self.canvas_widths, needed_w)
+
     def validate_batch(self, batch: dict) -> dict:
         """Check keys/shapes/dtypes against the exported signature.
 
         Extra keys are dropped (dataset loaders may attach side fields the
         export never consumed); missing keys or mismatched shapes raise.
-        The leading (batch) dim may be any ladder size (``batch_sizes``).
+        The leading (batch) dim may be any ladder size (``batch_sizes``),
+        and the pixel canvas width any width-ladder size (``canvas_widths``).
         """
         missing = sorted(set(self.batch_spec) - set(batch))
         if missing:
@@ -210,7 +271,7 @@ class ExportedModel:
                 f"expected signature: {self._signature_str()}"
             )
         got_bs = {tuple(np.shape(batch[k]))[:1] for k in self.batch_spec}
-        if len(got_bs) != 1 or next(iter(got_bs))[0] not in self._programs:
+        if len(got_bs) != 1 or next(iter(got_bs))[0] not in self.batch_sizes:
             raise ValueError(
                 f"batch size(s) {sorted(b[0] for b in got_bs)} not in the "
                 f"artifact's program ladder {list(self.batch_sizes)} "
@@ -221,11 +282,17 @@ class ExportedModel:
             v = batch[k]
             got_shape = tuple(np.shape(v))
             got_dtype = np.asarray(v).dtype.name if not hasattr(v, "dtype") else v.dtype.name
-            if got_shape[1:] != shape[1:] or got_dtype != dtype:
+            want_trailing = list(shape[1:])
+            got_trailing = list(got_shape[1:])
+            if k == "pixel_values" and self.canvas_widths is not None:
+                if got_trailing and got_trailing[WIDTH_AXIS] in self.canvas_widths:
+                    want_trailing[WIDTH_AXIS] = got_trailing[WIDTH_AXIS]
+            if got_trailing != want_trailing or got_dtype != dtype:
                 raise ValueError(
                     f"batch['{k}'] is {got_dtype}{list(got_shape)}, but the "
                     f"artifact was exported for {dtype}{list(shape)} "
-                    f"(fixed-shape serving; re-export for other shapes). "
+                    f"(fixed-shape serving; re-export for other shapes; "
+                    f"canvas-width ladder: {self.canvas_widths}). "
                     f"Full signature: {self._signature_str()}"
                 )
             out[k] = v
@@ -237,9 +304,26 @@ class ExportedModel:
             for k, (shape, dtype) in sorted(self.batch_spec.items())
         )
 
+    def warmup(self) -> None:
+        """Run one zero batch through EVERY program variant so no request
+        (at any load level / canvas width) pays lazy compilation."""
+        for bs, w in sorted(self._programs):
+            batch = {}
+            for k, (shape, dtype) in self.batch_spec.items():
+                shp = [bs] + list(shape)[1:]
+                if k == "pixel_values" and w is not None:
+                    shp[WIDTH_AXIS] = w
+                batch[k] = np.zeros(tuple(shp), dtype)
+            self(batch)
+
     def __call__(self, batch: dict):
         batch = self.validate_batch(batch)
         bs = np.shape(next(iter(batch.values())))[0]
+        w = (
+            np.shape(batch["pixel_values"])[WIDTH_AXIS]
+            if "pixel_values" in batch and self.canvas_widths is not None
+            else None
+        )
         if self._device_params is None:
             import jax.numpy as jnp
 
@@ -249,7 +333,13 @@ class ExportedModel:
             # drop the host copy (ViLT-base f32 is ~350 MB); the device tree
             # serves any remaining .params reader as array-likes
             self.params = self._device_params
-        return self._jit_calls[bs](self._device_params, batch)
+        key = (bs, w)
+        if key not in self._jit_calls:  # bs valid, width valid, combo absent
+            raise ValueError(
+                f"no exported program for (batch={bs}, width={w}); available:"
+                f" {sorted(self._programs)}"
+            )
+        return self._jit_calls[key](self._device_params, batch)
 
 
 def make_predict_meta(model, args, spec, loss_type: str) -> dict:

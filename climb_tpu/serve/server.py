@@ -62,7 +62,8 @@ class RequestBatcher:
 
     def __init__(self, run_fn, batch_spec, max_wait_ms: float = 5.0,
                  submit_timeout_s: float = 120.0, max_queued_batches: int = 16,
-                 batch_size_ladder=None):
+                 batch_size_ladder=None, canvas_width_ladder=None,
+                 patch_size: int = 32):
         self._run_fn = run_fn
         self.batch_spec = dict(batch_spec)  # {key: (shape, dtype_name)}
         self.batch_size = next(iter(self.batch_spec.values()))[0][0]
@@ -73,6 +74,14 @@ class RequestBatcher:
         self.batch_size_ladder = tuple(
             sorted(batch_size_ladder or (self.batch_size,))
         )
+        # canvas-width ladder (the serving analog of aspect bucketing): crop
+        # each assembled batch's pixel canvas to the smallest program width
+        # holding every row's valid patches (patch_hw) — 4:3 photos stop
+        # paying the full-canvas padding FLOPs per request
+        self.canvas_width_ladder = (
+            tuple(sorted(canvas_width_ladder)) if canvas_width_ladder else None
+        )
+        self.patch_size = int(patch_size)
         self.max_wait_s = max_wait_ms / 1e3
         self.submit_timeout_s = submit_timeout_s
         # bounded: under sustained overload new submissions fail fast
@@ -81,7 +90,7 @@ class RequestBatcher:
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "examples": 0, "batches": 0,
                       "batched_examples": 0, "last_batch_ms": None,
-                      "last_batch_size": None,
+                      "last_batch_size": None, "last_batch_width": None,
                       "errors": 0, "rejected": 0, "abandoned": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="climb-batcher")
@@ -168,6 +177,10 @@ class RequestBatcher:
                     self.stats["last_batch_size"] = int(
                         np.shape(next(iter(batch.values())))[0]
                     )
+                    if "pixel_values" in batch:
+                        self.stats["last_batch_width"] = int(
+                            np.shape(batch["pixel_values"])[-2]
+                        )
                 for i, it in enumerate(items):
                     it["result"] = logits[i]
                     it["done"].set()
@@ -182,22 +195,46 @@ class RequestBatcher:
             it["error"] = err
             it["done"].set()
 
-    def _assemble(self, examples) -> dict:
+    def _width_for(self, examples):
+        """Smallest width-ladder canvas holding every example's valid
+        patches (from 'patch_hw'; the full canvas when absent)."""
+        if self.canvas_width_ladder is None or len(self.canvas_width_ladder) < 2:
+            return None
         from climb_tpu.serve.export import pick_from_ladder
+
+        needed = 0
+        for ex in examples:
+            phw = ex.get("patch_hw")
+            if phw is None:
+                return None
+            needed = max(needed, int(np.max(np.asarray(phw)[..., 1])))
+        return pick_from_ladder(self.canvas_width_ladder,
+                                needed * self.patch_size)
+
+    def _assemble(self, examples) -> dict:
+        from climb_tpu.serve.export import WIDTH_AXIS, pick_from_ladder
 
         n = len(examples)
         target = pick_from_ladder(self.batch_size_ladder, n)
+        width = self._width_for(examples)
         batch = {}
         for key, (shape, dtype) in self.batch_spec.items():
-            out = np.zeros((target,) + tuple(shape)[1:], dtype)
+            want = list(shape)[1:]
+            if key == "pixel_values" and width is not None:
+                want[WIDTH_AXIS] = width
+            out = np.zeros((target,) + tuple(want), dtype)
             if key == "valid":
                 out[:n] = 1.0
             elif key in examples[0]:
                 rows = np.stack([np.asarray(ex[key]) for ex in examples])
-                if rows.shape[1:] != tuple(shape)[1:]:
+                if key == "pixel_values" and width is not None:
+                    # top-left-anchored canvas: columns beyond every row's
+                    # valid patch width are padding — cropping is lossless
+                    rows = np.ascontiguousarray(rows[..., :width, :])
+                if rows.shape[1:] != tuple(want):
                     raise ValueError(
                         f"'{key}' row shape {rows.shape[1:]} != artifact "
-                        f"signature {tuple(shape)[1:]}"
+                        f"signature {tuple(want)}"
                     )
                 out[:n] = rows.astype(dtype)
             # else: signature key the request never carries (labels,
@@ -227,6 +264,8 @@ class InferenceService:
         self.batcher = RequestBatcher(
             exported, exported.batch_spec, max_wait_ms=max_wait_ms,
             batch_size_ladder=getattr(exported, "batch_sizes", None),
+            canvas_width_ladder=getattr(exported, "canvas_widths", None),
+            patch_size=int(meta.get("patch_size", 32) or 32),
         )
         # bounded fan-out for multi-instance requests: enough in-flight
         # submissions to fill a few device batches, not a thread per row
@@ -362,14 +401,9 @@ def create_server(artifact_path: str, host: str = "127.0.0.1", port: int = 0,
     service = InferenceService(exported, tokenizer=tokenizer,
                                max_wait_ms=max_wait_ms)
     if warmup:
-        # every ladder program compiles on first call — warm them all so no
-        # request (at any load level) pays lazy initialization
-        for bs in getattr(exported, "batch_sizes", None) or (
-            next(iter(exported.batch_spec.values()))[0][0],
-        ):
-            zero = {k: np.zeros((bs,) + tuple(shape)[1:], dtype)
-                    for k, (shape, dtype) in exported.batch_spec.items()}
-            exported(zero)
+        # every (batch_size, canvas_width) program variant compiles on first
+        # call — warm them all so no request pays lazy initialization
+        exported.warmup()
     handler = type("Handler", (_Handler,), {"service": service})
     server = ThreadingHTTPServer((host, port), handler)
     # graceful drain: server_close() joins in-flight handler threads instead

@@ -385,3 +385,132 @@ def test_http_server_uses_ladder_for_partial_batches(tmp_path):
     finally:
         server.shutdown()
         server.service.close()
+
+
+def test_export_canvas_width_ladder(tmp_path):
+    """A width-ladder export routes by pixel canvas width; cropping the
+    canvas to any ladder width covering the valid patches must not change
+    the logits (padding patches are masked out of attention either way)."""
+    from climb_tpu.serve import ExportedModel, export_eval_step
+
+    args = tiny_args()
+    model = create_cl_model(args, task_configs)
+    cfg = model.cfg  # canvas 64x96, patch 32 -> grid 2x3
+    eval_step = make_eval_step(
+        model.module, "snli-ve", LOSS_TYPES["snli-ve"], cfg.compute_dtype
+    )
+    batch = make_batch(model.cfg)
+    # every image only occupies the first 32-pixel column of patches
+    batch["patch_hw"] = np.tile([[2, 1]], (4, 1)).astype(np.int32)
+
+    path = str(tmp_path / "wladder")
+    meta = export_eval_step(
+        eval_step, model.params, batch, path,
+        {"task_key": "snli-ve", "patch_size": 32}, platforms=("cpu",),
+        batch_sizes=(1,), canvas_widths=(32, 64),
+    )
+    assert meta["canvas_widths"] == [32, 64, 96]
+
+    served = ExportedModel(path)
+    assert served.canvas_widths == (32, 64, 96)
+    assert served.pick_canvas_width(20) == 32
+    assert served.pick_canvas_width(40) == 64
+    assert served.pick_canvas_width(96) == 96
+    assert served.pick_canvas_width(1000) == 96
+
+    want = np.asarray(served(batch)[0])  # full canvas program
+    for w in (32, 64):
+        cropped = dict(batch, pixel_values=batch["pixel_values"][:, :, :w])
+        got = np.asarray(served(cropped)[0])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        # and at bs=1 x width (the cross-product variant)
+        one = {k: v[:1] for k, v in cropped.items()}
+        got1 = np.asarray(served(one)[0])
+        np.testing.assert_allclose(got1, want[:1], rtol=1e-5, atol=1e-6)
+
+    # a non-ladder width errors actionably
+    with pytest.raises(ValueError, match="pixel_values"):
+        served(dict(batch, pixel_values=batch["pixel_values"][:, :, :48]))
+
+    # non-patch-multiple / too-wide ladder widths are rejected at export
+    with pytest.raises(ValueError, match="patch-size"):
+        export_eval_step(
+            eval_step, model.params, batch, str(tmp_path / "bad"),
+            {"task_key": "snli-ve", "patch_size": 32}, platforms=("cpu",),
+            canvas_widths=(48,),
+        )
+
+
+def test_http_server_uses_width_ladder(tmp_path):
+    """A request whose image needs only a narrow canvas must run a narrow
+    program (stats.last_batch_width < signature width) and produce the same
+    prediction as the full-canvas artifact."""
+    import threading
+    import urllib.request
+
+    from climb_tpu.serve import export_eval_step
+    from climb_tpu.serve.server import create_server
+
+    args = tiny_args()
+    model = create_cl_model(args, task_configs)
+    cfg = model.cfg
+    eval_step = make_eval_step(
+        model.module, "snli-ve", LOSS_TYPES["snli-ve"], cfg.compute_dtype
+    )
+    batch = make_batch(model.cfg)
+    meta = {
+        "task_key": "snli-ve", "loss_type": "ce",
+        "model_type": "classification", "num_labels": 3, "num_images": 1,
+        "num_choices": 0, "batch_size": 4,
+        "hidden_size": cfg.hidden_size, "max_text_len": cfg.max_text_len,
+        "image_height": cfg.image_height, "image_width": cfg.image_width,
+        "patch_size": cfg.patch_size, "compute_dtype": str(cfg.compute_dtype),
+        "encoder_name": "vilt", "dense_impl": "xla", "tokenizer": "synthetic",
+    }
+
+    def serve_and_predict(path, inst):
+        server = create_server(path, port=0, max_wait_ms=1.0)
+        try:
+            t = threading.Thread(target=server.serve_forever, daemon=True)
+            t.start()
+            host, port = server.server_address[:2]
+            req = urllib.request.Request(
+                f"http://{host}:{port}/v1/predict",
+                data=json.dumps({"instances": [inst],
+                                 "return_logits": True}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out = json.loads(r.read())
+            with urllib.request.urlopen(
+                f"http://{host}:{port}/stats", timeout=30
+            ) as r:
+                stats = json.loads(r.read())
+            return out, stats
+        finally:
+            server.shutdown()
+            server.service.close()
+
+    rng = np.random.RandomState(3)
+    # square 64x64 image -> resizes to 64x64 on the 64-high canvas ->
+    # 2x2 valid patches -> needs only a 64-wide canvas (not the 96 signature)
+    inst = {"text": "a square image",
+            "image": rng.randint(0, 255, (64, 64, 3)).tolist()}
+
+    ladder_path = str(tmp_path / "ladder_w")
+    export_eval_step(eval_step, model.params, batch, ladder_path, meta,
+                     platforms=("cpu",), batch_sizes=(1,),
+                     canvas_widths=(64,))
+    out_l, stats_l = serve_and_predict(ladder_path, inst)
+    assert stats_l["last_batch_width"] == 64
+    assert stats_l["last_batch_size"] == 1
+
+    plain_path = str(tmp_path / "plain_w")
+    export_eval_step(eval_step, model.params, batch, plain_path, meta,
+                     platforms=("cpu",))
+    out_p, stats_p = serve_and_predict(plain_path, inst)
+    assert stats_p["last_batch_width"] == cfg.image_width
+
+    assert out_l["predictions"] == out_p["predictions"]
+    np.testing.assert_allclose(out_l["logits"], out_p["logits"],
+                               rtol=1e-5, atol=1e-6)
