@@ -396,21 +396,40 @@ def _serve_from_export(args):
     args.image_height = int(meta["image_height"])
     args.image_width = int(meta["image_width"])
     args.max_text_len = int(meta["max_text_len"])
-    for bucket_flag in ("aspect_buckets", "text_buckets"):
-        if getattr(args, bucket_flag, None):
-            logger.warning("--%s is incompatible with fixed-signature "
-                           "--from_export serving; disabled", bucket_flag)
-            setattr(args, bucket_flag, None)
+    if getattr(args, "text_buckets", None):
+        logger.warning("--text_buckets is incompatible with fixed-signature "
+                       "--from_export serving; disabled")
+        args.text_buckets = None
+    # aspect bucketing IS servable when the artifact carries a canvas-width
+    # ladder (--export_canvas_widths): the loader groups + crops batches by
+    # width and each batch routes to its width's program. Batches the loader
+    # safety-widened past a ladder width pad up via fit_batch (lossless).
+    widths = getattr(exported, "canvas_widths", None) or ()
+    if len(widths) > 1:
+        if getattr(args, "aspect_buckets", None):
+            logger.info("--from_export: snapping --aspect_buckets to the "
+                        "artifact's width ladder %s", list(widths))
+        args.aspect_buckets = tuple(widths)
+        logger.info("--from_export: aspect bucketing over the artifact's "
+                    "canvas-width ladder %s", list(widths))
+    elif getattr(args, "aspect_buckets", None):
+        logger.warning("--aspect_buckets needs an artifact exported with "
+                       "--export_canvas_widths; disabled")
+        args.aspect_buckets = None
     args.checkpoint = args.from_export  # for the output-JSON provenance field
     model = predict_shim(meta)
 
+    run_fn = (
+        (lambda b: exported(exported.fit_batch(b))) if len(widths) > 1
+        else exported
+    )
     if args.input_jsonl:
-        return _predict_from_jsonl(args, model, exported)
+        return _predict_from_jsonl(args, model, run_fn)
     trainer_cls = get_task_trainer_class(task_configs[args.task_key]["trainer"])
     trainer = trainer_cls(
         args, task_configs, model_config={"encoder_dim": int(meta["hidden_size"])}
     )
-    return _predict_dataset(args, model, trainer, exported)
+    return _predict_dataset(args, model, trainer, run_fn)
 
 
 if __name__ == "__main__":

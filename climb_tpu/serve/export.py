@@ -304,6 +304,30 @@ class ExportedModel:
             for k, (shape, dtype) in sorted(self.batch_spec.items())
         )
 
+    def fit_batch(self, batch: dict) -> dict:
+        """Pad the pixel canvas UP to the nearest width-ladder program.
+
+        For producers whose batch widths don't exactly match the ladder
+        (e.g. a bucketed loader that safety-widened a batch to cover a
+        corrupt full-canvas image): zero columns beyond the valid patches
+        are masked padding, so padding up is lossless."""
+        if self.canvas_widths is None or "pixel_values" not in batch:
+            return batch
+        pv = batch["pixel_values"]
+        w = int(np.shape(pv)[WIDTH_AXIS])
+        target = pick_from_ladder(self.canvas_widths, w)
+        if target == w:
+            return batch
+        import jax.numpy as jnp
+
+        pad = [(0, 0)] * np.ndim(pv)
+        pad[WIDTH_AXIS] = (0, target - w)
+        batch = dict(batch)
+        batch["pixel_values"] = (
+            np.pad(pv, pad) if isinstance(pv, np.ndarray) else jnp.pad(pv, pad)
+        )
+        return batch
+
     def warmup(self) -> None:
         """Run one zero batch through EVERY program variant so no request
         (at any load level / canvas width) pays lazy compilation."""

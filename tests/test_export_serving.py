@@ -514,3 +514,58 @@ def test_http_server_uses_width_ladder(tmp_path):
     assert out_l["predictions"] == out_p["predictions"]
     np.testing.assert_allclose(out_l["logits"], out_p["logits"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_predict_from_export_dataset_mode_uses_width_ladder(tmp_path):
+    """--from_export with a width-ladder artifact serves the dataset split
+    through loader-side aspect bucketing (batches route to per-width
+    programs) and must reproduce the plain artifact's predictions/metric
+    exactly."""
+    from climb_tpu.cli.predict import main as predict_main
+    from climb_tpu.cli.train_upstream_continual_learning import main as upstream_main
+
+    base = [
+        "--encoder_name", "vilt",
+        "--pretrained_model_name", "scratch",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+    ]
+    upstream_main(base + ["--do_train"])
+    ckpt = (tmp_path / "vilt-singletask_ft-task0_snli-ve" / "checkpoints"
+            / "task0_snli-ve" / "model")
+
+    common = [
+        "--encoder_name", "vilt",
+        "--ordered_cl_tasks", "snli-ve",
+        "--task_key", "snli-ve",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(tmp_path),
+        "--pretrained_model_name", "scratch",
+    ]
+
+    plain_art = tmp_path / "plain.climbx"
+    predict_main(common + ["--checkpoint", str(ckpt),
+                           "--export_model", str(plain_art)])
+    plain_out = tmp_path / "plain.json"
+    predict_main(common + ["--from_export", str(plain_art),
+                           "--output_file", str(plain_out)])
+
+    ladder_art = tmp_path / "ladder.climbx"
+    predict_main(common + ["--checkpoint", str(ckpt),
+                           "--export_model", str(ladder_art),
+                           "--export_canvas_widths", "32,64"])
+    ladder_out = tmp_path / "ladder.json"
+    predict_main(common + ["--from_export", str(ladder_art),
+                           "--output_file", str(ladder_out)])
+
+    plain = json.loads(plain_out.read_text())
+    ladder = json.loads(ladder_out.read_text())
+    assert ladder["predictions"] == plain["predictions"]
+    assert ladder["metric"] == pytest.approx(plain["metric"], abs=1e-4)
+    assert ladder["n_examples"] == plain["n_examples"]
