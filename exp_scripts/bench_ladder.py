@@ -1,12 +1,15 @@
-"""Measure the serving batch-size ladder on the real chip: per-program
-latency of one exported artifact at bs 1 / 8 / 64 (full-size ViLT-B/32,
-bf16). The ladder's point: an idle HTTP server answering a single request
-pays the bs=1 program's latency instead of padding to the full batch.
+"""Measure the serving program ladders on the real chip: per-program
+latency of one exported artifact across (batch size x canvas width)
+variants (full-size ViLT-B/32, bf16). The ladders' point: an idle HTTP
+server answering a single request pays the bs=1 program's latency instead
+of padding to the full batch, and a 4:3 photo runs on the 512-wide program
+instead of paying 640-canvas padding FLOPs.
 
 Run: python exp_scripts/bench_ladder.py   (real TPU; a few min of compiles)
-Prints one JSON line per batch size.
+Prints one JSON line per (batch size, width).
 """
 
+import itertools
 import json
 import os
 import sys
@@ -18,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 SIZES = (1, 8, 64)
+WIDTHS = (512, 640)
 REPS = 20
 
 
@@ -50,12 +54,15 @@ def main():
     )
     path = "/tmp/ladder_bench.climbx"
     export_eval_step(eval_step, model.params, batch, path,
-                     {"task_key": "snli-ve"}, platforms=("tpu",),
-                     batch_sizes=SIZES)
+                     {"task_key": "snli-ve",
+                      "patch_size": int(cfg.patch_size)},
+                     platforms=("tpu",),
+                     batch_sizes=SIZES, canvas_widths=WIDTHS)
     served = ExportedModel(path)
 
-    for bs in SIZES:
-        sub = {k: v[:bs] for k, v in batch.items()}
+    for bs, w in itertools.product(SIZES, WIDTHS):
+        sub = {k: (v[:bs, :, :w] if k == "pixel_values" else v[:bs])
+               for k, v in batch.items()}
         out = served(sub)
         float(np.asarray(out[1]))  # compile + sync
         best = float("inf")
@@ -68,6 +75,7 @@ def main():
         ms = best / REPS * 1e3
         print(json.dumps({
             "batch_size": bs,
+            "canvas_width": w,
             "latency_ms_per_call": round(ms, 2),
             "examples_per_sec": round(bs * REPS / best, 1),
         }), flush=True)
