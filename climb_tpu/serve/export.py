@@ -225,6 +225,12 @@ class ExportedModel:
             self._programs[(int(bs_s), int(w_s) if w_s else None)] = (
                 jax_export.deserialize(bytearray(blob))
             )
+        # pre-width-ladder artifacts (same format_version) stored batch-size
+        # ladder programs under 'stablehlo_by_bs' at the signature width
+        for bs_s, blob in (payload.get("stablehlo_by_bs") or {}).items():
+            self._programs[(int(bs_s), sig_w)] = (
+                jax_export.deserialize(bytearray(blob))
+            )
         self.batch_sizes = tuple(sorted({bs for bs, _ in self._programs}))
         self.canvas_widths = tuple(
             sorted({w for _, w in self._programs if w is not None})

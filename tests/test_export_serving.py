@@ -329,6 +329,43 @@ def test_export_batch_size_ladder(tmp_path):
         )
 
 
+def test_legacy_by_bs_artifact_keeps_its_ladder(tmp_path):
+    """Artifacts exported before the width ladder stored batch-size ladder
+    programs under 'stablehlo_by_bs' (same format_version): the reader must
+    still surface those programs, not silently serve signature-batch only."""
+    from flax import serialization
+
+    from climb_tpu.serve import ExportedModel, export_eval_step
+
+    args = tiny_args()
+    model = create_cl_model(args, task_configs)
+    eval_step = make_eval_step(
+        model.module, "snli-ve", LOSS_TYPES["snli-ve"], model.cfg.compute_dtype
+    )
+    batch = make_batch(model.cfg)  # signature batch = 4
+    path = str(tmp_path / "legacy")
+    export_eval_step(
+        eval_step, model.params, batch, path,
+        {"task_key": "snli-ve", "batch_size": 4}, platforms=("cpu",),
+        batch_sizes=(2,),
+    )
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    # rewrite to the pre-width-ladder layout: '<bs>:<w>' variants -> bare-bs
+    payload["stablehlo_by_bs"] = {
+        key.split(":")[0]: blob
+        for key, blob in payload.pop("stablehlo_variants").items()
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+    served = ExportedModel(path)
+    assert 2 in served.batch_sizes
+    want = np.asarray(eval_step(model.params, batch)[0])
+    got = np.asarray(served({k: v[:2] for k, v in batch.items()})[0])
+    np.testing.assert_allclose(got, want[:2], rtol=1e-5, atol=1e-6)
+
+
 def test_http_server_uses_ladder_for_partial_batches(tmp_path):
     """With a ladder artifact, a single-instance request at idle must run
     the bs=1 program (stats.last_batch_size == 1), not pad to the full
