@@ -9,6 +9,11 @@ from climb_tpu.ckpt.checkpoint import (
     task_checkpoint_exists,
     task_dir,
 )
+from climb_tpu.ckpt.sharded import (
+    is_sharded_checkpoint,
+    load_sharded,
+    save_sharded,
+)
 from climb_tpu.ckpt.torch_import import (
     convert_torch_state_dict,
     export_torch_state_dict,
@@ -32,4 +37,7 @@ __all__ = [
     "partial_load",
     "task_checkpoint_exists",
     "task_dir",
+    "is_sharded_checkpoint",
+    "load_sharded",
+    "save_sharded",
 ]

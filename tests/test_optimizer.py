@@ -80,3 +80,84 @@ def test_per_layer_vector_mask():
     new = np.asarray(optax.apply_updates(params, updates)["enc"])
     np.testing.assert_array_equal(new[:2], 1.0)
     assert (new[2] != 1.0).all()
+
+
+def test_skip_nonfinite_guard():
+    """--skip_nonfinite_updates: NaN/inf gradients skip the step (params +
+    moments untouched, counter advances); finite trajectories are identical
+    with the guard on or off; persistent failures apply through after the
+    consecutive limit so they surface."""
+    from climb_tpu.train.optimizer import nonfinite_skips
+
+    params = {"w": jnp.ones((4,)), "bias": jnp.zeros((2,))}
+    kw = dict(lr=1e-2, total_steps=10, warmup_ratio=0.0)
+    guarded = make_optimizer(params, skip_nonfinite=2, **kw)
+    plain = make_optimizer(params, **kw)
+
+    finite = {"w": jnp.full((4,), 0.5), "bias": jnp.full((2,), -0.25)}
+    bad = {"w": jnp.asarray([1.0, jnp.nan, 1.0, 1.0]), "bias": jnp.zeros((2,))}
+
+    gs, ps = guarded.init(params), plain.init(params)
+    assert nonfinite_skips(gs) == 0
+
+    # a NaN step is skipped: zero updates, counter = 1
+    up, gs = guarded.update(bad, gs, params)
+    assert nonfinite_skips(gs) == 1
+    assert all(np.all(np.asarray(u) == 0) for u in jax.tree_util.tree_leaves(up))
+
+    # a finite step then matches the unguarded optimizer (1 ULP: the
+    # guard's lax.cond path compiles with a different fusion order)
+    up_g, gs = guarded.update(finite, gs, params)
+    up_p, ps = plain.update(finite, ps, params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9
+        ),
+        up_g, up_p,
+    )
+    assert nonfinite_skips(gs) == 1  # finite step resets the consecutive run
+
+    # beyond max_consecutive_errors the update applies anyway (NaN surfaces)
+    up, gs = guarded.update(bad, gs, params)
+    up, gs = guarded.update(bad, gs, params)
+    up, gs = guarded.update(bad, gs, params)
+    assert not np.isfinite(np.asarray(up["w"])).all()
+
+
+def test_skip_nonfinite_train_step_integration(tmp_path):
+    """The wrapped opt state survives the real jitted train step and the
+    elastic state serialization roundtrip."""
+    from types import SimpleNamespace
+
+    from flax import serialization
+
+    from climb_tpu.configs import task_configs
+    from climb_tpu.train import TrainState, create_cl_model, make_train_step
+
+    args = SimpleNamespace(
+        batch_size=4, seed=0, ordered_cl_tasks=["snli-ve"], encoder_name="vilt",
+        pretrained_model_name="scratch", tiny=True, synthetic=True,
+        image_height=64, image_width=96, skip_nonfinite_updates=3,
+    )
+    model = create_cl_model(args, task_configs)
+    tx = make_optimizer(model.params, lr=1e-3, total_steps=10,
+                        warmup_ratio=0.0, skip_nonfinite=3)
+    state = TrainState.create(apply_fn=model.module.apply,
+                              params=model.params, tx=tx)
+    r = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(r.randint(1, 100, (4, 40)), jnp.int32),
+        "text_mask": jnp.ones((4, 40)),
+        "pixel_values": jnp.asarray(r.randint(0, 255, (4, 64, 96, 3)), jnp.uint8),
+        "patch_hw": jnp.ones((4, 2), jnp.int32),
+        "labels": jnp.asarray(r.randint(0, 3, (4,)), jnp.int32),
+    }
+    step = make_train_step(model.module, "snli-ve", "ce")
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+    sd = serialization.to_state_dict(state)
+    restored = serialization.from_state_dict(state, sd)
+    from climb_tpu.train.optimizer import nonfinite_skips
+
+    assert nonfinite_skips(restored.opt_state) == 0
