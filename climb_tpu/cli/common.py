@@ -146,6 +146,11 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                              "pad. Composes with --aspect_buckets; results "
                              "are unchanged (padding tokens are masked "
                              "either way).")
+    parser.add_argument("--adam_moments_dtype", type=str, default=None,
+                        choices=["bfloat16"],
+                        help="Store AdamW's first moment in bf16 (25% less "
+                             "optimizer HBM; accumulation stays f32). The "
+                             "second moment keeps f32 for dynamic range.")
     parser.add_argument("--skip_nonfinite_updates", type=int, default=0,
                         help="If > 0, a train step whose gradients contain "
                              "NaN/inf is skipped (params + AdamW moments "

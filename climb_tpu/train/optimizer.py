@@ -89,6 +89,7 @@ def make_optimizer(
     trainable_mask: Optional[dict] = None,
     max_grad_norm: Optional[float] = None,
     skip_nonfinite: int = 0,
+    moments_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """``skip_nonfinite > 0`` guards production bf16 runs against loss
     spikes: a step whose gradients contain NaN/inf is SKIPPED (params and
@@ -97,7 +98,12 @@ def make_optimizer(
     update applies anyway so a persistent failure surfaces rather than
     looping silently. Finite-gradient trajectories match the unguarded
     optimizer (to 1 ULP of compiled op reordering) with the guard on.
-    Skip count: ``nonfinite_skips(opt_state)``."""
+    Skip count: ``nonfinite_skips(opt_state)``.
+
+    ``moments_dtype='bfloat16'`` stores AdamW's first moment (mu) in bf16 —
+    25% less optimizer HBM (mu is 1 of 4 state+param copies); the second
+    moment stays f32 (squared-gradient dynamic range doesn't survive bf16).
+    Accumulation still happens in f32 (optax casts per update)."""
     schedule = polynomial_warmup_schedule(lr, total_steps, warmup_ratio)
     chain = []
     if max_grad_norm is not None:
@@ -110,6 +116,7 @@ def make_optimizer(
             eps=adam_epsilon,
             weight_decay=weight_decay,
             mask=weight_decay_mask(params),
+            mu_dtype=moments_dtype,
         )
     )
     if trainable_mask is not None:

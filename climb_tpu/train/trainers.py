@@ -201,6 +201,7 @@ class VLTaskTrainer(TaskTrainer):
             skip_nonfinite=int(
                 getattr(self.args, "skip_nonfinite_updates", 0) or 0
             ),
+            moments_dtype=getattr(self.args, "adam_moments_dtype", None),
         )
 
     def _make_train_step_dispatcher(self, model: CLModel):

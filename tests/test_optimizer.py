@@ -161,3 +161,24 @@ def test_skip_nonfinite_train_step_integration(tmp_path):
     from climb_tpu.train.optimizer import nonfinite_skips
 
     assert nonfinite_skips(restored.opt_state) == 0
+
+
+def test_bf16_first_moment():
+    """--adam_moments_dtype bfloat16: mu stored in bf16, nu stays f32;
+    updates track the f32 optimizer closely (accumulation is f32)."""
+    params = {"w": jnp.ones((64,))}
+    kw = dict(lr=1e-2, total_steps=10, warmup_ratio=0.0)
+    tx16 = make_optimizer(params, moments_dtype="bfloat16", **kw)
+    tx32 = make_optimizer(params, **kw)
+    s16, s32 = tx16.init(params), tx32.init(params)
+    mu16 = jax.tree_util.tree_leaves(
+        [l for l in jax.tree_util.tree_leaves(s16) if hasattr(l, "dtype")]
+    )
+    assert any(l.dtype == jnp.bfloat16 for l in mu16)   # mu
+    assert any(l.dtype == jnp.float32 for l in mu16)    # nu
+
+    g = {"w": jnp.full((64,), 0.37)}
+    u16, s16 = tx16.update(g, s16, params)
+    u32, s32 = tx32.update(g, s32, params)
+    np.testing.assert_allclose(np.asarray(u16["w"]), np.asarray(u32["w"]),
+                               rtol=5e-3)
