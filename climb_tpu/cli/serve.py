@@ -20,7 +20,10 @@ logger = logging.getLogger(__name__)
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--from_export", required=True,
-                   help="Serving artifact written by predict --export_model.")
+                   help="Serving artifact written by predict --export_model. "
+                        "Comma-separate several to serve a MULTI-TASK "
+                        "endpoint (e.g. every upstream CL task); requests "
+                        "then route by their 'task' field.")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8700,
                    help="TCP port (0 = ephemeral; printed at startup).")
@@ -49,7 +52,9 @@ def main(argv=None):
 
         tokenizer = load_tokenizer(args.tokenizer or "bert-base-uncased",
                                    args.vocab_path)
-    server = create_server(args.from_export, host=args.host, port=args.port,
+    artifacts = [p for p in args.from_export.split(",") if p]
+    server = create_server(artifacts if len(artifacts) > 1 else artifacts[0],
+                           host=args.host, port=args.port,
                            max_wait_ms=args.max_wait_ms, tokenizer=tokenizer)
     host, port = server.server_address[:2]
     logger.info("ready: POST http://%s:%d/v1/predict "
@@ -74,7 +79,8 @@ def main(argv=None):
     finally:
         server.shutdown()
         server.server_close()  # drain: join in-flight handler threads
-        server.service.close()
+        for svc in server.services.values():
+            svc.close()
 
 
 if __name__ == "__main__":

@@ -35,6 +35,7 @@ API:
 
 import json
 import logging
+import os
 import queue
 import threading
 import time
@@ -316,8 +317,28 @@ class InferenceService:
 
 
 class _Handler(BaseHTTPRequestHandler):
-    # class attr injected by create_server
+    # class attrs injected by create_server: the default service plus the
+    # task-key routing table (multi-task servers carry several artifacts)
     service: InferenceService = None
+    services: dict = None
+
+    def _route(self, task):
+        """Pick the service for a request's 'task' field (None = default
+        when unambiguous)."""
+        if task is None:
+            if len(self.services) == 1:
+                return self.service
+            raise ValueError(
+                f"this server carries several tasks {sorted(self.services)}; "
+                f"the request body must set 'task'"
+            )
+        svc = self.services.get(task)
+        if svc is None:
+            raise ValueError(
+                f"unknown task '{task}'; this server carries "
+                f"{sorted(self.services)}"
+            )
+        return svc
 
     def log_message(self, fmt, *args):  # route http.server noise to logging
         logger.debug("%s " + fmt, self.address_string(), *args)
@@ -333,7 +354,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         svc = self.service
         if self.path == "/healthz":
-            self._json(200, {
+            payload = {
                 "status": "ok",
                 "task_key": svc.meta.get("task_key"),
                 "batch_size": svc.batcher.batch_size,
@@ -342,14 +363,23 @@ class _Handler(BaseHTTPRequestHandler):
                     k: [list(shape), dtype]
                     for k, (shape, dtype) in svc.exported.batch_spec.items()
                 },
-            })
+            }
+            if len(self.services) > 1:
+                payload["tasks"] = sorted(self.services)
+            self._json(200, payload)
         elif self.path == "/stats":
-            with svc.batcher._lock:
-                stats = dict(svc.batcher.stats)
-            b = max(stats["batches"], 1)
-            stats["mean_batch_fill"] = round(
-                stats["batched_examples"] / b / svc.batcher.batch_size, 3)
-            self._json(200, stats)
+            def one(s):
+                with s.batcher._lock:
+                    stats = dict(s.batcher.stats)
+                b = max(stats["batches"], 1)
+                stats["mean_batch_fill"] = round(
+                    stats["batched_examples"] / b / s.batcher.batch_size, 3)
+                return stats
+
+            if len(self.services) > 1:
+                self._json(200, {t: one(s) for t, s in self.services.items()})
+            else:
+                self._json(200, one(svc))
         else:
             self._json(404, {"error": f"no route {self.path}"})
 
@@ -371,7 +401,7 @@ class _Handler(BaseHTTPRequestHandler):
             instances = req.get("instances")
             if not isinstance(instances, list) or not instances:
                 raise ValueError("body must carry a non-empty 'instances' list")
-            out = self.service.predict(
+            out = self._route(req.get("task")).predict(
                 instances, return_logits=bool(req.get("return_logits"))
             )
             self._json(200, out)
@@ -384,27 +414,42 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
 
-def create_server(artifact_path: str, host: str = "127.0.0.1", port: int = 0,
+def create_server(artifact_path, host: str = "127.0.0.1", port: int = 0,
                   max_wait_ms: float = 5.0, tokenizer=None,
                   warmup: bool = True) -> ThreadingHTTPServer:
-    """Build a ready-to-serve ThreadingHTTPServer around an artifact.
+    """Build a ready-to-serve ThreadingHTTPServer around artifact(s).
+
+    ``artifact_path`` may be one path or a list — a MULTI-TASK server (the
+    natural deployment of an upstream-CL run: every task's exported head
+    behind one endpoint); requests route by their ``task`` field (optional
+    when only one artifact is loaded). Task keys must be distinct.
 
     ``port=0`` binds an ephemeral port (``server.server_address[1]``).
-    ``warmup`` runs one zero batch through the program so the first request
-    doesn't pay any lazy initialization. The server owns the service; use
-    ``server.service`` for in-process access and call ``server.shutdown()``
-    + ``server.service.close()`` to stop.
+    ``warmup`` runs one zero batch through every program so the first
+    request doesn't pay any lazy initialization. The server owns the
+    services; use ``server.service`` (default task) / ``server.services``
+    for in-process access and call ``server.shutdown()`` +
+    ``server.service.close()`` to stop (close() on each for multi-task).
     """
     from climb_tpu.serve import ExportedModel
 
-    exported = ExportedModel(artifact_path)
-    service = InferenceService(exported, tokenizer=tokenizer,
-                               max_wait_ms=max_wait_ms)
-    if warmup:
-        # every (batch_size, canvas_width) program variant compiles on first
-        # call — warm them all so no request pays lazy initialization
-        exported.warmup()
-    handler = type("Handler", (_Handler,), {"service": service})
+    paths = ([artifact_path] if isinstance(artifact_path, (str, os.PathLike))
+             else list(artifact_path))
+    services = {}
+    for p in paths:
+        exported = ExportedModel(p)
+        task = exported.meta.get("task_key")
+        if task in services:
+            raise ValueError(f"duplicate task '{task}' across artifacts {paths}")
+        services[task] = InferenceService(exported, tokenizer=tokenizer,
+                                          max_wait_ms=max_wait_ms)
+        if warmup:
+            # every (batch_size, canvas_width) program variant compiles on
+            # first call — warm them all so no request pays lazy init
+            exported.warmup()
+    service = next(iter(services.values()))
+    handler = type("Handler", (_Handler,),
+                   {"service": service, "services": services})
     server = ThreadingHTTPServer((host, port), handler)
     # graceful drain: server_close() joins in-flight handler threads instead
     # of abandoning daemon threads mid-response (the per-socket timeout
@@ -412,9 +457,10 @@ def create_server(artifact_path: str, host: str = "127.0.0.1", port: int = 0,
     server.daemon_threads = False
     server.block_on_close = True
     server.service = service
+    server.services = services
     logger.info(
-        "serving %s (task=%s, batch=%d, wait<=%.1fms) on http://%s:%d",
-        artifact_path, exported.meta.get("task_key"),
-        service.batcher.batch_size, max_wait_ms, *server.server_address[:2],
+        "serving %s (tasks=%s, batch=%d, wait<=%.1fms) on http://%s:%d",
+        paths, sorted(services), service.batcher.batch_size, max_wait_ms,
+        *server.server_address[:2],
     )
     return server

@@ -351,3 +351,86 @@ def test_serve_cli_sigterm_drains(artifact):
         if proc.poll() is None:
             proc.kill()
             proc.communicate()
+
+
+def test_multi_task_server(tmp_path, artifact):
+    """One server, several task artifacts: requests route by 'task', logits
+    match each artifact's direct call, taskless requests on a multi-task
+    server 4xx actionably, /healthz lists the tasks."""
+    import jax
+
+    # second artifact: a VQA head from the same CL family (soft-target task,
+    # different head width) under its own task_key
+    args = tiny_args(ordered_cl_tasks=["snli-ve", "vqa"])
+    model = create_cl_model(args, task_configs)
+    cfg = model.cfg
+    eval_step = make_eval_step(
+        model.module, "vqa", LOSS_TYPES["vqa"], cfg.compute_dtype
+    )
+    rng = np.random.RandomState(1)
+    n_vqa = task_configs["vqa"]["num_labels"]
+    batch = {
+        "input_ids": rng.randint(1, cfg.vocab_size, (BS, cfg.max_text_len)).astype(np.int32),
+        "text_mask": np.ones((BS, cfg.max_text_len), np.float32),
+        "pixel_values": rng.randint(0, 255, (BS, 64, 96, 3)).astype(np.uint8),
+        "patch_hw": np.tile([[cfg.grid_h, cfg.grid_w]], (BS, 1)).astype(np.int32),
+        "target_scores": np.zeros((BS, n_vqa), np.float32),
+    }
+    vqa_path = str(tmp_path / "vqa.climbx")
+    export_eval_step(
+        eval_step, model.params, batch, vqa_path,
+        {
+            "task_key": "vqa", "batch_size": BS, "model_type": "classification",
+            "num_images": 1, "num_choices": 0, "tokenizer": "synthetic",
+            "max_text_len": int(cfg.max_text_len), "image_height": 64,
+            "image_width": 96, "patch_size": int(cfg.patch_size),
+        },
+        platforms=("cpu",),
+    )
+
+    snli_path, snli_cfg = artifact
+    srv = create_server([snli_path, vqa_path], port=0, max_wait_ms=100.0,
+                        tokenizer=HashTokenizer())
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(_url(srv, "/healthz"), timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["tasks"] == ["snli-ve", "vqa"]
+
+        inst = _instances(2)
+        # routed to snli-ve: matches the snli artifact's direct logits
+        status, out = _post(srv, {"instances": inst, "task": "snli-ve",
+                                  "return_logits": True})
+        assert status == 200 and out["task_key"] == "snli-ve"
+        want = _direct_logits((snli_path, snli_cfg), inst)
+        for got, exp in zip(out["logits"], want):
+            np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-4, atol=1e-5)
+
+        # routed to vqa: a (n_vqa)-wide head answers
+        status, out = _post(srv, {"instances": inst, "task": "vqa",
+                                  "return_logits": True})
+        assert status == 200 and out["task_key"] == "vqa"
+        assert len(out["logits"][0]) == n_vqa
+
+        # taskless request on a multi-task server: actionable 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, {"instances": inst})
+        assert ei.value.code == 400
+        assert "task" in json.loads(ei.value.read())["error"]
+
+        # unknown task: actionable 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, {"instances": inst, "task": "nope"})
+        assert ei.value.code == 400
+
+        # per-task stats
+        with urllib.request.urlopen(_url(srv, "/stats"), timeout=60) as r:
+            stats = json.loads(r.read())
+        assert set(stats) == {"snli-ve", "vqa"}
+        assert stats["vqa"]["examples"] >= 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        for svc in srv.services.values():
+            svc.close()
