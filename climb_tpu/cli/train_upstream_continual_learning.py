@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Directory where all the CLiMB data is stored.")
     parser.add_argument("--do_train", action="store_true")
     parser.add_argument("--do_eval", action="store_true")
+    parser.add_argument("--visual_input_type", default=None,
+                        choices=["pil-image", "raw"],
+                        help="Override the model config's image input layout: "
+                             "'pil-image' = uint8 canvas normalized on-device "
+                             "(default, fastest), 'raw' = host-normalized f32 "
+                             "(reference cocoimages_dataset.py:47-51 parity).")
 
     # experience replay
     parser.add_argument("--memory_percentage", type=float, default=0.0,
@@ -175,7 +181,8 @@ def main(argv=None):
     from climb_tpu.train import create_cl_model, get_task_trainer_class
 
     model_config = model_configs[args.encoder_name]
-    args.visual_input_type = model_config["visual_input_type"]
+    if args.visual_input_type is None:
+        args.visual_input_type = model_config["visual_input_type"]
 
     mesh = None
     if args.use_mesh and len(jax.devices()) > 1:

@@ -14,20 +14,40 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from climb_tpu.data.image_pipeline import process_image, process_jpeg_file
+from climb_tpu.data.image_pipeline import (
+    normalize_canvas_host,
+    process_image,
+    process_jpeg_file,
+)
 
 logger = logging.getLogger(__name__)
 
+# Reference cocoimages_dataset.py:37: {'pil-image', 'raw', 'fast-rcnn'}.
+# 'pil-image' here = uint8 canvas, normalized on-device (the TPU-native
+# layout); 'raw' = host-normalized float32 in [-1, 1], matching the
+# reference's Resize+ToTensor+Normalize-at-load variant
+# (cocoimages_dataset.py:47-51). 'fast-rcnn' is NotImplementedError in the
+# reference itself (cocoimages_dataset.py:60-69) and stays that way.
+VISUAL_INPUT_TYPES = ("pil-image", "raw")
+
 
 class CanvasImageProvider:
-    """Base: id -> (uint8 canvas, patch_hw)."""
+    """Base: id -> (canvas, patch_hw). Canvas dtype follows
+    ``visual_input_type``: uint8 for 'pil-image', normalized f32 for 'raw'."""
 
-    def __init__(self, canvas_hw: Tuple[int, int] = (384, 640), patch_size: int = 32):
+    def __init__(self, canvas_hw: Tuple[int, int] = (384, 640), patch_size: int = 32,
+                 visual_input_type: str = "pil-image"):
+        if visual_input_type == "fast-rcnn":
+            raise NotImplementedError(
+                "fast-rcnn visual inputs are not implemented (the reference's "
+                "own path raises NotImplementedError, cocoimages_dataset.py:60-69)")
+        assert visual_input_type in VISUAL_INPUT_TYPES, visual_input_type
         self.canvas_hw = canvas_hw
         self.patch_size = patch_size
+        self.visual_input_type = visual_input_type
         self.imageid2filename: Dict = {}
 
-    def load_canvas(self, path: str):
+    def _load_canvas_u8(self, path: str):
         from PIL import Image
 
         try:
@@ -48,6 +68,12 @@ class CanvasImageProvider:
                 (self.canvas_hw[0] // self.patch_size, self.canvas_hw[1] // self.patch_size),
             )
 
+    def load_canvas(self, path: str):
+        canvas, patch_hw = self._load_canvas_u8(path)
+        if self.visual_input_type == "raw":
+            canvas = normalize_canvas_host(canvas)
+        return canvas, patch_hw
+
     def get_image_data(self, image_id):
         return self.load_canvas(self.imageid2filename[image_id])
 
@@ -56,8 +82,9 @@ class MSCOCOImagesDataset(CanvasImageProvider):
     """COCO images (VQA): filename pattern '*_<12-digit-id>.jpg'
     (cocoimages_dataset.py:39-45)."""
 
-    def __init__(self, coco_dir: str, canvas_hw=(384, 640), patch_size: int = 32):
-        super().__init__(canvas_hw, patch_size)
+    def __init__(self, coco_dir: str, canvas_hw=(384, 640), patch_size: int = 32,
+                 visual_input_type: str = "pil-image"):
+        super().__init__(canvas_hw, patch_size, visual_input_type)
         self.images_dir = os.path.join(coco_dir, "images")
         for fn in os.listdir(self.images_dir):
             base = fn.split("_")[-1]
@@ -82,8 +109,9 @@ class Flickr30KImagesDataset(CanvasImageProvider):
     looks like an oversight; HF ViltProcessor re-resizes afterward anyway).
     """
 
-    def __init__(self, flickr_dir: str, canvas_hw=(384, 640), patch_size: int = 32):
-        super().__init__(canvas_hw, patch_size)
+    def __init__(self, flickr_dir: str, canvas_hw=(384, 640), patch_size: int = 32,
+                 visual_input_type: str = "pil-image"):
+        super().__init__(canvas_hw, patch_size, visual_input_type)
         self.images_dir = os.path.join(flickr_dir, "flickr30k_images")
         for fn in os.listdir(self.images_dir):
             try:

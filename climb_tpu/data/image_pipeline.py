@@ -54,6 +54,18 @@ def vilt_resize_dims(
     return new_h, new_w
 
 
+def normalize_canvas_host(canvas_u8: np.ndarray) -> np.ndarray:
+    """uint8 canvas -> normalized float32 in [-1, 1] on the host.
+
+    The 'raw' ``visual_input_type`` variant (reference
+    cocoimages_dataset.py:47-51: Resize + ToTensor + Normalize(0.5, 0.5) at
+    load time). The op order matches ``ops.image_ops.normalize_images``
+    exactly so host- and device-normalized pixels are bit-identical in f32.
+    """
+    x = canvas_u8.astype(np.float32) * np.float32(1.0 / 255.0)
+    return (x - np.float32(0.5)) / np.float32(0.5)
+
+
 def image_header_dims(path: str):
     """(h, w) of an image file from its header only — no pixel decode.
 

@@ -256,7 +256,8 @@ class NLVR2Dataset(VLDatasetBase):
         self.num_labels = 2
         _split = self.SPLIT_RENAME[split]
         self.image_dir = os.path.join(data_dir, "images", _split)
-        self._provider = CanvasImageProvider(canvas_hw)
+        self._provider = CanvasImageProvider(
+            canvas_hw, visual_input_type=kw.get("visual_input_type", "pil-image"))
 
         cache = os.path.join(data_dir, "cached_nlvr2_data", f"{_split}.pkl")
         self.data = _load_cache(cache)
@@ -388,7 +389,8 @@ class VCRDataset(VLDatasetBase):
         self.split = split
         self.task_type = task_type
         self.num_choices = 4
-        self._provider = CanvasImageProvider(canvas_hw)
+        self._provider = CanvasImageProvider(
+            canvas_hw, visual_input_type=kw.get("visual_input_type", "pil-image"))
 
         cache = os.path.join(data_dir, "cached_vcr_data", f"vcr_{task_type}_{split}.pkl")
         self.data = _load_cache(cache)
@@ -471,20 +473,23 @@ def build_vl_datasets(args, task_key: str, task_cfg: dict):
     tok = load_tokenizer(getattr(args, "tokenizer", "bert-base-uncased"),
                          getattr(args, "vocab_path", None))
     data_dir = os.path.join(root, task_cfg["data_dir"])
+    vit = getattr(args, "visual_input_type", "pil-image")
 
     if task_key == "vqa":
-        images = MSCOCOImagesDataset(os.path.join(root, "ms-coco/"), canvas)
+        images = MSCOCOImagesDataset(os.path.join(root, "ms-coco/"), canvas,
+                                     visual_input_type=vit)
         return (
             VQADataset(data_dir, images, "train", tok, max_len, canvas),
             VQADataset(data_dir, images, "val", tok, max_len, canvas),
         )
     if task_key == "nlvr2":
         return (
-            NLVR2Dataset(data_dir, "train", tok, max_len, canvas),
-            NLVR2Dataset(data_dir, "val", tok, max_len, canvas),
+            NLVR2Dataset(data_dir, "train", tok, max_len, canvas, visual_input_type=vit),
+            NLVR2Dataset(data_dir, "val", tok, max_len, canvas, visual_input_type=vit),
         )
     if task_key == "snli-ve":
-        images = Flickr30KImagesDataset(os.path.join(root, "flickr30k/"), canvas)
+        images = Flickr30KImagesDataset(os.path.join(root, "flickr30k/"), canvas,
+                                        visual_input_type=vit)
         return (
             SnliVEDataset(data_dir, images, "train", tok, max_len, canvas),
             SnliVEDataset(data_dir, images, "dev", tok, max_len, canvas),
@@ -492,7 +497,9 @@ def build_vl_datasets(args, task_key: str, task_cfg: dict):
     if task_key == "vcr":
         task_type = task_cfg.get("task_type", "qa")
         return (
-            VCRDataset(data_dir, "train", task_type, tok, max_len, canvas),
-            VCRDataset(data_dir, "dev", task_type, tok, max_len, canvas),
+            VCRDataset(data_dir, "train", task_type, tok, max_len, canvas,
+                       visual_input_type=vit),
+            VCRDataset(data_dir, "dev", task_type, tok, max_len, canvas,
+                       visual_input_type=vit),
         )
     raise KeyError(task_key)

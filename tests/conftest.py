@@ -47,6 +47,7 @@ _SMOKE_MODULES = {
     "test_sharding.py",         # DP/TP mesh equivalence (8-dev CPU)
     "test_surgery.py",          # pytree surgeries
     "test_multipass_equivalence.py",  # NLVR2/VCR fold == sequential
+    "test_raw_input.py",        # visual_input_type raw == on-device normalize
 }
 
 
