@@ -62,7 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Override the model config's image input layout: "
                              "'pil-image' = uint8 canvas normalized on-device "
                              "(default, fastest), 'raw' = host-normalized f32 "
-                             "(reference cocoimages_dataset.py:47-51 parity).")
+                             "(the reference raw path's normalize-at-load "
+                             "semantics on this repo's padded canvas — "
+                             "bit-identical to 'pil-image' inputs; see "
+                             "docs/MIGRATION.md).")
 
     # experience replay
     parser.add_argument("--memory_percentage", type=float, default=0.0,

@@ -25,9 +25,15 @@ logger = logging.getLogger(__name__)
 # Reference cocoimages_dataset.py:37: {'pil-image', 'raw', 'fast-rcnn'}.
 # 'pil-image' here = uint8 canvas, normalized on-device (the TPU-native
 # layout); 'raw' = host-normalized float32 in [-1, 1], matching the
-# reference's Resize+ToTensor+Normalize-at-load variant
-# (cocoimages_dataset.py:47-51). 'fast-rcnn' is NotImplementedError in the
-# reference itself (cocoimages_dataset.py:60-69) and stays that way.
+# reference raw path's normalize-at-load-time SEMANTICS
+# (cocoimages_dataset.py:47-51). Pixel geometry deliberately differs from
+# the reference's raw variant: that path squash-resizes the full frame to
+# (384, 640) with default-bilinear (aspect-distorting, no padding), while
+# this repo's 'raw' keeps the aspect-preserving bicubic padded canvas of
+# 'pil-image' — so 'raw' is bit-identical to this repo's 'pil-image' model
+# inputs, NOT byte-identical to the reference raw path's pixels (see
+# docs/MIGRATION.md). 'fast-rcnn' is NotImplementedError in the reference
+# itself (cocoimages_dataset.py:60-69) and stays that way.
 VISUAL_INPUT_TYPES = ("pil-image", "raw")
 
 
@@ -41,7 +47,10 @@ class CanvasImageProvider:
             raise NotImplementedError(
                 "fast-rcnn visual inputs are not implemented (the reference's "
                 "own path raises NotImplementedError, cocoimages_dataset.py:60-69)")
-        assert visual_input_type in VISUAL_INPUT_TYPES, visual_input_type
+        if visual_input_type not in VISUAL_INPUT_TYPES:
+            raise ValueError(
+                f"unknown visual_input_type {visual_input_type!r}; "
+                f"expected one of {VISUAL_INPUT_TYPES}")
         self.canvas_hw = canvas_hw
         self.patch_size = patch_size
         self.visual_input_type = visual_input_type

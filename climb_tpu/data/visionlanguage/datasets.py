@@ -249,7 +249,8 @@ class NLVR2Dataset(VLDatasetBase):
     SPLIT_RENAME = {"train": "train", "val": "dev", "test": "test1"}
 
     def __init__(self, data_dir: str, split: str, tokenizer=None,
-                 max_text_len: int = 40, canvas_hw=(384, 640), **kw):
+                 max_text_len: int = 40, canvas_hw=(384, 640),
+                 visual_input_type: str = "pil-image"):
         super().__init__(tokenizer or load_tokenizer(), max_text_len, canvas_hw)
         self.data_dir = data_dir
         self.split = split
@@ -257,7 +258,7 @@ class NLVR2Dataset(VLDatasetBase):
         _split = self.SPLIT_RENAME[split]
         self.image_dir = os.path.join(data_dir, "images", _split)
         self._provider = CanvasImageProvider(
-            canvas_hw, visual_input_type=kw.get("visual_input_type", "pil-image"))
+            canvas_hw, visual_input_type=visual_input_type)
 
         cache = os.path.join(data_dir, "cached_nlvr2_data", f"{_split}.pkl")
         self.data = _load_cache(cache)
@@ -383,14 +384,15 @@ class SnliVEDataset(VLDatasetBase):
 
 class VCRDataset(VLDatasetBase):
     def __init__(self, data_dir: str, split: str, task_type: str = "qa", tokenizer=None,
-                 max_text_len: int = 40, canvas_hw=(384, 640), **kw):
+                 max_text_len: int = 40, canvas_hw=(384, 640),
+                 visual_input_type: str = "pil-image"):
         super().__init__(tokenizer or load_tokenizer(), max_text_len, canvas_hw)
         self.data_dir = data_dir
         self.split = split
         self.task_type = task_type
         self.num_choices = 4
         self._provider = CanvasImageProvider(
-            canvas_hw, visual_input_type=kw.get("visual_input_type", "pil-image"))
+            canvas_hw, visual_input_type=visual_input_type)
 
         cache = os.path.join(data_dir, "cached_vcr_data", f"vcr_{task_type}_{split}.pkl")
         self.data = _load_cache(cache)
