@@ -177,11 +177,17 @@ def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "CL_RUN_r03.json"))
-    ap.add_argument("--base-out", default="/tmp/climb_cl_smoke")
+    ap.add_argument("--base-out", default=None,
+                    help="experiment output root (default: a per-platform "
+                         "dir, so a CPU rehearsal's checkpoints can never be "
+                         "picked up by the TPU run's resume logic)")
     ap.add_argument("--tiny-cpu", action="store_true",
                     help="rehearse the identical flow on the CPU mesh (~5 min)")
     ap.add_argument("--algorithms", default="sequential_ft,experience_replay")
     flags = ap.parse_args()
+    if flags.base_out is None:
+        flags.base_out = ("/tmp/climb_cl_smoke_cpu" if flags.tiny_cpu
+                          else "/tmp/climb_cl_smoke_tpu")
 
     import platform
 
