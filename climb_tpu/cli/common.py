@@ -115,6 +115,24 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         help="Tensor-parallel width of the device mesh (data axis gets the rest).")
     parser.add_argument("--use_mesh", action="store_true",
                         help="Shard over all visible devices (DP x TP mesh).")
+    parser.add_argument("--pp_stages", type=int, default=0,
+                        help="Pipeline-parallel stages: shard the encoder's "
+                             "stacked layer axis over a 'pipe' mesh axis and "
+                             "stream microbatches through the GPipe schedule "
+                             "(remaining device factor = data parallelism). "
+                             "Composes with DP only (not --fsdp/--n_model); "
+                             "num_layers must divide by stages*virtual. "
+                             "Trajectory matches plain DP "
+                             "(tests/test_pp_training.py).")
+    parser.add_argument("--pp_microbatches", type=int, default=0,
+                        help="Microbatches per pipeline schedule (0 = one "
+                             "per stage). More microbatches shrink the "
+                             "fill/drain bubble: (P-1)/(M+P-1) of ticks.")
+    parser.add_argument("--pp_virtual", type=int, default=1,
+                        help="Virtual stages per device (circular/"
+                             "interleaved schedule): V>1 shrinks the bubble "
+                             "V-fold at one extra stacked-param gather per "
+                             "step (stored layout stays canonical).")
     parser.add_argument("--fsdp", action="store_true",
                         help="Fully-sharded data parallelism (ZeRO-3): also "
                              "shard parameters and AdamW moments over the "

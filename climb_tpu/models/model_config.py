@@ -59,6 +59,17 @@ class ViltConfig:
     #                                   scales; honored only when
     #                                   deterministic — training always xla)
 
+    # Pipeline parallelism (parallel/pipeline.py). pp_stages > 1 routes the
+    # scanned encoder stack through the GPipe/circular schedule on pp_mesh's
+    # 'pipe' axis instead of the layer scan; the checkpoint/param layout is
+    # unchanged (stacked leaves, canonical layer order). pp_mesh carries the
+    # concrete jax.sharding.Mesh — it is STATIC configuration (hashable,
+    # never serialized; ViltConfig is not written to checkpoints).
+    pp_stages: int = 0                # 0/1 = off
+    pp_virtual: int = 1               # virtual stages per device (circular)
+    pp_microbatches: int = 0          # 0 = one microbatch per stage
+    pp_mesh: Optional[object] = None  # Mesh with ('data'?, 'pipe') axes
+
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads

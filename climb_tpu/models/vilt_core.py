@@ -321,6 +321,21 @@ class ViltBlock(nn.Module):
         return x + h
 
 
+def _remat_policy(cfg):
+    """jax.checkpoint policy for the configured remat_policy name."""
+    if cfg.remat_policy == "dots":
+        # Save only batch-dim-free GEMM outputs (the dense matmuls); the
+        # O(S^2) attention einsums, softmax, LN, and GELU are recomputed in
+        # backward — near-optimal memory at ~15% extra FLOPs vs full-block
+        # remat's ~33%.
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if cfg.remat_policy == "selective":
+        return jax.checkpoint_policies.save_anything_except_these_names(
+            "attn_probs"
+        )
+    return jax.checkpoint_policies.nothing_saveable
+
+
 class ViltCore(nn.Module):
     """The full ViLT encoder: text+image embeddings -> blocks -> LN -> pooler.
 
@@ -432,40 +447,108 @@ class ViltCore(nn.Module):
         joint_mask = jnp.concatenate([text_mask.astype(jnp.float32), img_mask], axis=1)
         mask_bias = mask_to_bias(joint_mask, dtype=jnp.float32)
 
-        block_cls = ViltBlock
-        if cfg.remat and not ViltBlock.fused_self_remat(cfg, self.adapter_spec):
-            if cfg.remat_policy == "dots":
-                # Save only batch-dim-free GEMM outputs (the dense matmuls);
-                # the O(S^2) attention einsums, softmax, LN, and GELU are
-                # recomputed in backward — near-optimal memory at ~15% extra
-                # FLOPs vs full-block remat's ~33%.
-                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            elif cfg.remat_policy == "selective":
-                policy = jax.checkpoint_policies.save_anything_except_these_names(
-                    "attn_probs"
+        if cfg.pp_stages > 1 and not self.is_initializing():
+            # Pipeline-parallel path: the stacked block params already exist
+            # (created by the scan branch during init — layouts identical);
+            # stream microbatches through the stage schedule instead of
+            # scanning layers. See _pipelined_encoder.
+            x = self._pipelined_encoder(x, mask_bias, deterministic)
+        else:
+            block_cls = ViltBlock
+            if cfg.remat and not ViltBlock.fused_self_remat(cfg, self.adapter_spec):
+                block_cls = nn.remat(
+                    ViltBlock, prevent_cse=False, policy=_remat_policy(cfg)
                 )
-            else:
-                policy = jax.checkpoint_policies.nothing_saveable
-            block_cls = nn.remat(ViltBlock, prevent_cse=False, policy=policy)
-        ScannedBlocks = nn.scan(
-            block_cls,
-            variable_axes={"params": 0, "quant": 0},
-            split_rngs={"params": True, "dropout": True},
-            length=cfg.num_layers,
-            in_axes=nn.broadcast,
-            unroll=cfg.scan_unroll,
-            metadata_params={nn.meta.PARTITION_NAME: "layers"},
-        )
-        x, _ = ScannedBlocks(
-            cfg,
-            adapter_spec=self.adapter_spec,
-            adapter_tasks=self.adapter_tasks,
-            active_adapter=self.active_adapter,
-            deterministic=deterministic,
-            name="encoder",
-        )(x, mask_bias)
+            ScannedBlocks = nn.scan(
+                block_cls,
+                variable_axes={"params": 0, "quant": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.num_layers,
+                in_axes=nn.broadcast,
+                unroll=cfg.scan_unroll,
+                metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            )
+            x, _ = ScannedBlocks(
+                cfg,
+                adapter_spec=self.adapter_spec,
+                adapter_tasks=self.adapter_tasks,
+                active_adapter=self.active_adapter,
+                deterministic=deterministic,
+                name="encoder",
+            )(x, mask_bias)
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype, name="final_layernorm")(x)
         pooled = nn.Dense(d, dtype=dtype, name="pooler")(x[:, 0])
         pooled = jnp.tanh(pooled)
         return x, pooled, joint_mask
+
+    def _pipelined_encoder(self, x, mask_bias, deterministic):
+        """Run the stacked encoder blocks through the GPipe/circular pipeline
+        (``parallel/pipeline.py``) over ``cfg.pp_mesh``'s 'pipe' axis.
+
+        The stored parameter tree is untouched: stacked leaves in canonical
+        layer order under 'encoder', exactly as the scan path creates them —
+        checkpoints, freeze masks, and HF grafting are pipeline-agnostic.
+        Stage placement comes from sharding the leading layer axis over
+        'pipe' (``sharding.param_spec(pp=True)``); with ``pp_virtual > 1``
+        the circular layout is applied per apply (a gather of the stacked
+        tree — stored params stay canonical so save/restore never reorders).
+        Differentiable end to end (ppermute transposes to the reverse
+        ppermute), so the same path serves train and eval.
+        """
+        from climb_tpu.parallel.mesh import DATA_AXIS
+        from climb_tpu.parallel.pipeline import (
+            PIPE_AXIS,
+            interleave_for_pipeline,
+            pipeline_layers,
+        )
+
+        cfg = self.cfg
+        if cfg.hidden_dropout > 0.0 and not deterministic:
+            raise ValueError(
+                "pipeline parallelism requires hidden_dropout == 0.0 (block "
+                "applications inside the schedule carry no dropout rng)"
+            )
+        mesh = cfg.pp_mesh
+        if mesh is None or PIPE_AXIS not in mesh.axis_names:
+            raise ValueError(
+                "pp_stages > 1 requires cfg.pp_mesh with a 'pipe' axis "
+                "(make_dp_pp_mesh)"
+            )
+        stacked = self.get_variable("params", "encoder")
+        block = ViltBlock(
+            cfg,
+            adapter_spec=self.adapter_spec,
+            adapter_tasks=self.adapter_tasks,
+            active_adapter=self.active_adapter,
+            deterministic=deterministic,
+            parent=None,
+        )
+
+        def apply_block(lp, io):
+            y, _ = block.apply({"params": lp}, io["x"], io["mask_bias"])
+            return {"x": y, "mask_bias": io["mask_bias"]}
+
+        if cfg.remat and not ViltBlock.fused_self_remat(cfg, self.adapter_spec):
+            apply_block = jax.checkpoint(
+                apply_block, prevent_cse=False, policy=_remat_policy(cfg)
+            )
+
+        n_stages = mesh.shape[PIPE_AXIS]
+        if cfg.pp_virtual > 1:
+            stacked = interleave_for_pipeline(stacked, n_stages, cfg.pp_virtual)
+        batch_axis = (
+            DATA_AXIS
+            if DATA_AXIS in mesh.axis_names and mesh.shape[DATA_AXIS] > 1
+            else None
+        )
+        out = pipeline_layers(
+            apply_block,
+            stacked,
+            {"x": x, "mask_bias": mask_bias},
+            n_micro=cfg.pp_microbatches or n_stages,
+            mesh=mesh,
+            batch_axis=batch_axis,
+            n_virtual=cfg.pp_virtual,
+        )
+        return out["x"]

@@ -17,6 +17,7 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 REPLICA_AXIS = "replica"  # across-slice (DCN) axis of multi-slice meshes
+PIPE_AXIS = "pipe"        # pipeline-stage axis (parallel/pipeline.py)
 
 
 def make_mesh(
@@ -38,6 +39,24 @@ def make_mesh(
     )
     arr = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_dp_pp_mesh(
+    n_pipe: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'pipe') mesh: pipeline stages over contiguous ICI
+    neighbors (each stage-to-stage ppermute hop is one link), the remaining
+    device factor as data parallelism. The encoder's scan-stacked layer axis
+    is sharded over 'pipe' (sharding.param_spec with pp=True); batches shard
+    their leading axis over 'data' exactly as on the DP x TP mesh."""
+    devices = list(devices if devices is not None else jax.devices())
+    n_data = len(devices) // n_pipe
+    assert n_data * n_pipe == len(devices), (
+        f"mesh {n_data}x{n_pipe} != {len(devices)} devices"
+    )
+    arr = np.asarray(devices).reshape(n_data, n_pipe)
+    return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
 
 
 def make_multislice_mesh(

@@ -50,7 +50,7 @@ except ImportError:  # older jax
         return _esm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                     check_rep=False)
 
-PIPE_AXIS = "pipe"
+from climb_tpu.parallel.mesh import PIPE_AXIS  # the mesh axis PP rides
 
 
 def make_pipe_mesh(n_stages: int, devices=None) -> Mesh:

@@ -31,7 +31,7 @@ from typing import Tuple
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from climb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, REPLICA_AXIS
+from climb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS, REPLICA_AXIS
 
 # (path-suffix, spec) rules; first match wins. Paths are tuples of str keys.
 _COL_SPLIT = {"q", "k", "v", "fc1"}  # kernel (…, in, out): shard out
@@ -43,16 +43,30 @@ _ROW_SPLIT = {"attn_out", "fc2"}     # kernel (…, in, out): shard in
 FSDP_MIN_SIZE = 65536
 
 
-def param_spec(path: Tuple[str, ...], leaf, fsdp_size: int = 0) -> P:
+def param_spec(path: Tuple[str, ...], leaf, fsdp_size: int = 0,
+               pp: bool = False) -> P:
     """PartitionSpec for one parameter leaf, by its tree path.
 
     fsdp_size > 1 additionally shards the largest still-unsharded,
     divisible dim of every large leaf over 'data' (ZeRO-3). The scan-stacked
     layer axis (dim 0 of 3D+ kernels) is skipped so each scan iteration
     gathers slices of ONE layer, not whole other layers.
+
+    pp=True shards the scan-stacked layer axis (dim 0 of every leaf under an
+    'encoder' subtree) over 'pipe' instead — each pipeline stage holds only
+    its own layers' weights, moments, and gradients; TP/FSDP rules are
+    skipped for those leaves (pipeline_layers' shard_map owns their layout).
     """
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     dims = [None] * leaf.ndim
+    if pp:
+        # the ('data','pipe') mesh has no 'model' axis: TP rules are moot.
+        # Layer-stacked leaves shard dim 0 over 'pipe' (each stage holds only
+        # its own layers); everything else replicates.
+        if "encoder" in names and leaf.ndim >= 1:
+            dims[0] = PIPE_AXIS
+            return P(*dims)
+        return P()
     if len(names) >= 2 and names[-1] == "kernel":
         owner = names[-2]
         # adapters: ('...', 'adapter_mlp_task', 'down'|'up', 'kernel')
@@ -73,20 +87,26 @@ def param_spec(path: Tuple[str, ...], leaf, fsdp_size: int = 0) -> P:
     return P(*dims)
 
 
-def param_sharding_rules(params, mesh, fsdp: bool = False) -> dict:
+def param_sharding_rules(params, mesh, fsdp: bool = False,
+                         pp: bool = False) -> dict:
     """Pytree of NamedShardings matching `params`."""
     fsdp_size = mesh.shape[DATA_AXIS] if fsdp else 0
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf, fsdp_size)),
+        lambda path, leaf: NamedSharding(
+            mesh, param_spec(path, leaf, fsdp_size, pp=pp)
+        ),
         params,
     )
 
 
-def shard_params(params, mesh, fsdp: bool = False):
+def shard_params(params, mesh, fsdp: bool = False, pp: bool = False):
     """Place a parameter pytree onto the mesh per the TP (+ optional FSDP)
     rules. Optimizer states created later with ``zeros_like`` inherit these
-    shardings, completing the ZeRO-3 memory layout."""
-    return jax.device_put(params, param_sharding_rules(params, mesh, fsdp))
+    shardings, completing the ZeRO-3 memory layout. ``pp=True`` applies the
+    pipeline layout (layer-stacked leaves over 'pipe') instead."""
+    return jax.device_put(
+        params, param_sharding_rules(params, mesh, fsdp, pp=pp)
+    )
 
 
 def batch_spec(leaf, mesh=None) -> P:

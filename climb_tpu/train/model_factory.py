@@ -76,6 +76,30 @@ def create_cl_model(
     needs_three = "nlvr2" in task_keys
     cfg = vilt_config_from_args(args, needs_three)
 
+    pp_stages = int(getattr(args, "pp_stages", 0) or 0)
+    if pp_stages > 1:
+        if getattr(args, "fsdp", False) or getattr(args, "n_model", 1) > 1:
+            raise ValueError(
+                "--pp_stages composes with data parallelism only; drop "
+                "--fsdp/--n_model (the pipeline's shard_map owns the encoder "
+                "layout — see docs/SCALING.md)"
+            )
+        if getattr(args, "dense_impl", "xla") != "xla":
+            raise ValueError(
+                "--pp_stages does not support int8 dense (no 'quant' "
+                "collection threading through the stage schedule)"
+            )
+        if mesh is None:
+            from climb_tpu.parallel.mesh import make_dp_pp_mesh
+
+            mesh = make_dp_pp_mesh(pp_stages)
+        cfg = cfg.replace(
+            pp_stages=pp_stages,
+            pp_virtual=int(getattr(args, "pp_virtual", 1) or 1),
+            pp_microbatches=int(getattr(args, "pp_microbatches", 0) or 0),
+            pp_mesh=mesh,
+        )
+
     learner_cls = resolve(CONTINUAL_LEARNER_REGISTRY, args.encoder_name)
     module = learner_cls(cfg=cfg, head_specs=head_specs)
 
@@ -107,7 +131,8 @@ def create_cl_model(
     if mesh is None and getattr(args, "n_devices", 0):
         mesh = make_mesh(n_model=getattr(args, "n_model", 1))
     if mesh is not None:
-        params = shard_params(params, mesh, fsdp=getattr(args, "fsdp", False))
+        params = shard_params(params, mesh, fsdp=getattr(args, "fsdp", False),
+                              pp=pp_stages > 1)
     return CLModel(
         module=module, cfg=cfg, head_specs=head_specs, params=params, mesh=mesh,
         trainable_mask=trainable_mask, encoder_key=encoder_key,
