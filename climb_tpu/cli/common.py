@@ -77,12 +77,21 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         choices=["full", "dots", "selective"],
                         help="What remat recomputes in backward.")
     parser.add_argument("--grad_accum_steps", default=1,
-                        type=lambda s: s if s == "auto" else int(s),
+                        type=lambda s: s if s in ("auto", "sweep") else int(s),
                         help="Split each batch into k microbatches and average "
                              "gradients inside one step (memory vs throughput); "
-                             "'auto' picks the measured-fastest k per batch "
-                             "shape (recommended with bucketing — the optimum "
-                             "shifts with sequence length).")
+                             "'auto' picks k per batch shape from the v5e-"
+                             "measured token-budget heuristic (recommended "
+                             "with bucketing — the optimum shifts with "
+                             "sequence length); 'sweep' MEASURES k on-device "
+                             "once per shape and caches per device kind "
+                             "(~/.cache/climb_tpu_accum.json) — use on chip "
+                             "generations other than v5e.")
+    parser.add_argument("--auto_accum_token_budget", type=int, default=None,
+                        help="Override the 'auto' policy's encoder-tokens-"
+                             "per-microbatch budget (default 8000, measured "
+                             "on v5e — re-measure with exp_scripts/"
+                             "bench_accum_width.py, recipe in docs/PERF.md).")
     parser.add_argument("--scan_unroll", type=int, default=1,
                         help="Unroll factor for the encoder layer scan; full "
                              "unroll (=num_layers) trades compile time for "

@@ -1,0 +1,147 @@
+"""Portable grad-accum auto-tuning: a one-time on-device micro-sweep.
+
+``--grad_accum_steps auto`` picks the microbatch count from a token-budget
+heuristic whose constant (train_step.AUTO_ACCUM_TOKEN_BUDGET ~ 8k encoder
+tokens per microbatch) was measured on TPU v5e (exp_scripts/
+bench_accum_width.py). On other chip generations that constant may be wrong.
+Two escape hatches keep 'auto' honest off-v5e:
+
+- ``--auto_accum_token_budget N`` overrides the constant directly (re-measure
+  once with exp_scripts/bench_accum_width.py on the new chip — recipe in
+  docs/PERF.md).
+- ``--grad_accum_steps sweep`` measures instead of predicting: the first time
+  a batch SHAPE is seen, every power-of-2 accum candidate is timed on-device
+  (on throwaway copies of the train state — the real optimizer trajectory is
+  untouched) and the fastest is cached persistently per
+  (device_kind, shape signature) in ``~/.cache/climb_tpu_accum.json``.
+  Subsequent steps — and subsequent RUNS on the same chip kind — hit the
+  cache. Cost: one extra jit compile + a few timed steps per (shape,
+  candidate), once per chip generation.
+
+The sweep always includes accum=1, so by construction its pick is never
+slower than no-accumulation on the measuring device.
+"""
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CACHE_PATH = os.path.expanduser("~/.cache/climb_tpu_accum.json")
+
+
+def shape_key(batch: dict, patch_size: int) -> str:
+    """Cache key: device kind + the shape facts the optimum depends on
+    (per-pass sequence length, batch size, fold multiplicity)."""
+    ids = batch["input_ids"]
+    pv = batch["pixel_values"]
+    seq_len = ids.shape[-1] + 1 + (pv.shape[-3] // patch_size) * (
+        pv.shape[-2] // patch_size
+    )
+    fold = 1
+    if ids.ndim == 3:
+        fold = ids.shape[1]
+    elif pv.ndim == 5:
+        fold = pv.shape[1]
+    kind = jax.devices()[0].device_kind.replace(" ", "_")
+    return f"{kind}|b{ids.shape[0]}|s{seq_len}|f{fold}"
+
+
+def accum_candidates(batch_size: int, max_accum: int = 16) -> List[int]:
+    """Power-of-2 divisors of the batch size, smallest first (1 always in)."""
+    out, a = [], 1
+    while a <= min(batch_size, max_accum) and batch_size % a == 0:
+        out.append(a)
+        a *= 2
+    return out
+
+
+def load_cache(path: str = DEFAULT_CACHE_PATH) -> Dict[str, dict]:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def save_cache(cache: Dict[str, dict], path: str = DEFAULT_CACHE_PATH) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _time_step(step_fn: Callable, state, batch, rng, warmup: int = 1,
+               iters: int = 2) -> float:
+    """Median-free best-of-iters wall time of one train step, on throwaway
+    state copies (the step donates its state argument, so each call gets a
+    fresh copy; the caller's state is never touched). float(loss) forces a
+    device sync — block_until_ready alone is not a hard sync through the
+    remote-TPU tunnel (CLAUDE.md)."""
+
+    def run_once():
+        scratch = jax.tree_util.tree_map(jnp.copy, state)
+        t0 = time.perf_counter()
+        _, metrics = step_fn(scratch, batch, rng)
+        float(metrics["loss"])
+        return time.perf_counter() - t0
+
+    for _ in range(warmup):
+        run_once()
+    return min(run_once() for _ in range(iters))
+
+
+def sweep_accum(
+    make_step: Callable[[int], Callable],
+    state,
+    batch,
+    rng,
+    candidates: Optional[List[int]] = None,
+    timer: Callable = _time_step,
+) -> dict:
+    """Time every candidate accum value on-device; return
+    ``{"accum": best, "times_s": {str(a): t}}``. ``make_step(a)`` must build
+    the jitted train step for accum ``a`` (trainer's own factory)."""
+    if candidates is None:
+        bs = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        candidates = accum_candidates(bs)
+    assert 1 in candidates, "accum=1 must be a candidate (the no-regression floor)"
+    times = {}
+    for a in candidates:
+        times[str(a)] = timer(make_step(a), state, batch, rng)
+        logger.info("accum sweep: accum=%d -> %.4fs/step", a, times[str(a)])
+    best = int(min(times, key=times.get))
+    return {"accum": best, "times_s": times}
+
+
+class AccumTuner:
+    """Per-shape sweep results, backed by the persistent cache file."""
+
+    def __init__(self, patch_size: int, cache_path: str = DEFAULT_CACHE_PATH):
+        self.patch_size = patch_size
+        self.cache_path = cache_path
+        self.cache = load_cache(cache_path)
+
+    def get(self, batch) -> Optional[int]:
+        rec = self.cache.get(shape_key(batch, self.patch_size))
+        return int(rec["accum"]) if rec else None
+
+    def tune(self, make_step, state, batch, rng) -> int:
+        key = shape_key(batch, self.patch_size)
+        rec = self.cache.get(key)
+        if rec is None:
+            logger.info("accum sweep for shape %s (one-time, cached)", key)
+            rec = sweep_accum(make_step, state, batch, rng)
+            self.cache[key] = rec
+            try:
+                save_cache(self.cache, self.cache_path)
+            except OSError as e:  # read-only home: still usable this run
+                logger.warning("accum cache not persisted: %s", e)
+        return int(rec["accum"])

@@ -218,15 +218,38 @@ class VLTaskTrainer(TaskTrainer):
             model.module, self.task_key, self.loss_type,
             model.cfg.compute_dtype, grad_accum_steps=a,
         )
-        if str(accum_arg) != "auto":
+        if str(accum_arg) not in ("auto", "sweep"):
             return make(int(accum_arg))
-        from climb_tpu.train.train_step import auto_grad_accum_for_batch
 
         steps = {}
         patch_size = model.cfg.patch_size
 
+        if str(accum_arg) == "sweep":
+            # measured, not predicted: one-time on-device sweep per batch
+            # shape, cached persistently per device kind (accum_tune.py) —
+            # the portable mode for chip generations the 'auto' token-budget
+            # constant was not measured on
+            from climb_tpu.train.accum_tune import AccumTuner
+
+            tuner = AccumTuner(patch_size)
+
+            def dispatch(state, batch, rng, ewc_ref=None, fd_ref=None):
+                a = tuner.get(batch)
+                if a is None:
+                    a = tuner.tune(make, state, batch, rng)
+                fn = steps.get(a)
+                if fn is None:
+                    fn = steps[a] = make(a)
+                return fn(state, batch, rng, ewc_ref, fd_ref)
+
+            return dispatch
+
+        from climb_tpu.train.train_step import auto_grad_accum_for_batch
+
+        token_budget = getattr(self.args, "auto_accum_token_budget", None)
+
         def dispatch(state, batch, rng, ewc_ref=None, fd_ref=None):
-            a = auto_grad_accum_for_batch(batch, patch_size)
+            a = auto_grad_accum_for_batch(batch, patch_size, token_budget)
             fn = steps.get(a)
             if fn is None:
                 fn = steps[a] = make(a)
