@@ -48,6 +48,7 @@ _SMOKE_MODULES = {
     "test_surgery.py",          # pytree surgeries
     "test_multipass_equivalence.py",  # NLVR2/VCR fold == sequential
     "test_raw_input.py",        # visual_input_type raw == on-device normalize
+    "test_driver_smoke.py",     # ONE end-to-end driver run (train+eval+resume)
 }
 
 
