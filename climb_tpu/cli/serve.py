@@ -35,6 +35,10 @@ def build_parser():
                         "file path, or 'synthetic').")
     p.add_argument("--vocab_path", default=None,
                    help="Explicit WordPiece vocab file for the tokenizer.")
+    p.add_argument("--max_instances", type=int, default=1024,
+                   help="Per-request instances bound (413 above it): keeps "
+                        "one huge request from flooding host memory before "
+                        "the batcher's bounded queue can push back.")
     return p
 
 
@@ -55,7 +59,8 @@ def main(argv=None):
     artifacts = [p for p in args.from_export.split(",") if p]
     server = create_server(artifacts if len(artifacts) > 1 else artifacts[0],
                            host=args.host, port=args.port,
-                           max_wait_ms=args.max_wait_ms, tokenizer=tokenizer)
+                           max_wait_ms=args.max_wait_ms, tokenizer=tokenizer,
+                           max_instances=args.max_instances)
     host, port = server.server_address[:2]
     logger.info("ready: POST http://%s:%d/v1/predict "
                 "(GET /healthz, /stats; Ctrl-C or SIGTERM to stop)", host, port)

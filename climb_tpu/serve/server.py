@@ -384,6 +384,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": f"no route {self.path}"})
 
     MAX_BODY_BYTES = 256 * 1024 * 1024
+    # per-request instances bound (overridable via create_server): without
+    # it one huge request would preprocess every row into host arrays and
+    # flood the submit pool's unbounded future queue BEFORE the batcher's
+    # bounded example queue could push back — the 503 backpressure must
+    # engage per request too, not just per example
+    MAX_INSTANCES = 1024
     timeout = 300  # socket timeout: a stalled client can't pin the thread
 
     def do_POST(self):
@@ -398,16 +404,27 @@ class _Handler(BaseHTTPRequestHandler):
                     "error": f"request body {length} bytes exceeds "
                              f"{self.MAX_BODY_BYTES}"})
             req = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(req, dict):
+                raise ValueError("body must be a JSON object")
             instances = req.get("instances")
             if not isinstance(instances, list) or not instances:
                 raise ValueError("body must carry a non-empty 'instances' list")
+            if len(instances) > self.MAX_INSTANCES:
+                return self._json(413, {
+                    "error": f"{len(instances)} instances exceeds the "
+                             f"per-request limit {self.MAX_INSTANCES}; "
+                             f"split the request"})
+            if not all(isinstance(i, dict) for i in instances):
+                raise ValueError("every instance must be a JSON object")
             out = self._route(req.get("task")).predict(
                 instances, return_logits=bool(req.get("return_logits"))
             )
             self._json(200, out)
         except OverloadedError as e:
             self._json(503, {"error": str(e)})
-        except (ValueError, KeyError, TypeError) as e:
+        except (ValueError, KeyError, TypeError, AttributeError, IndexError) as e:
+            # malformed payloads surface as these from json/preprocess/
+            # validate layers — all client errors, never a server crash
             self._json(400, {"error": str(e)})
         except Exception as e:  # noqa: BLE001
             logger.exception("predict failed")
@@ -416,7 +433,8 @@ class _Handler(BaseHTTPRequestHandler):
 
 def create_server(artifact_path, host: str = "127.0.0.1", port: int = 0,
                   max_wait_ms: float = 5.0, tokenizer=None,
-                  warmup: bool = True) -> ThreadingHTTPServer:
+                  warmup: bool = True,
+                  max_instances: int = None) -> ThreadingHTTPServer:
     """Build a ready-to-serve ThreadingHTTPServer around artifact(s).
 
     ``artifact_path`` may be one path or a list — a MULTI-TASK server (the
@@ -448,8 +466,10 @@ def create_server(artifact_path, host: str = "127.0.0.1", port: int = 0,
             # first call — warm them all so no request pays lazy init
             exported.warmup()
     service = next(iter(services.values()))
-    handler = type("Handler", (_Handler,),
-                   {"service": service, "services": services})
+    attrs = {"service": service, "services": services}
+    if max_instances is not None:
+        attrs["MAX_INSTANCES"] = int(max_instances)
+    handler = type("Handler", (_Handler,), attrs)
     server = ThreadingHTTPServer((host, port), handler)
     # graceful drain: server_close() joins in-flight handler threads instead
     # of abandoning daemon threads mid-response (the per-socket timeout

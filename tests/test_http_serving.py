@@ -434,3 +434,83 @@ def test_multi_task_server(tmp_path, artifact):
         srv.server_close()
         for svc in srv.services.values():
             svc.close()
+
+
+# ---- hardening: payload fuzz + per-request backpressure --------------------
+
+FUZZ_PAYLOADS = [
+    b"",                                        # empty body
+    b"not json at all {{{",                     # broken JSON
+    b"[1, 2, 3]",                               # JSON but not an object
+    b'"just a string"',
+    b"null",
+    b'{"instances": "not-a-list"}',
+    b'{"instances": [42]}',                     # non-object instance
+    b'{"instances": ["text"]}',
+    b'{"instances": [null]}',
+    b'{"instances": [{}]}',                     # object missing every field
+    b'{"instances": [{"text": 17, "image": 3}]}',
+    b'{"instances": [{"text": "x", "image": {"b64": "!!!notbase64"}}]}',
+    b'{"instances": [{"text": "x", "image": {"b64": ""}}]}',
+    b'{"instances": [{"text": "x", "image": [[[1]]], "extra": {"a": [1]}}]}',
+    b'{"instances": [{"choices": [], "image": [[[1]]]}]}',
+    b'{"instances": [{"text": "' + b"x" * 100000 + b'", "image": 1}]}',
+    b'{"task": {"nested": true}, "instances": [{"text": "x"}]}',
+]
+
+
+@pytest.mark.parametrize("payload", FUZZ_PAYLOADS,
+                         ids=range(len(FUZZ_PAYLOADS)))
+def test_malformed_payload_fuzz(server, payload):
+    """Every malformed body must produce a 4xx JSON error — never a 5xx,
+    never a hung/broken server."""
+    req = urllib.request.Request(
+        _url(server, "/v1/predict"), data=payload,
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            pytest.fail(f"malformed payload accepted: {r.status}")
+    except urllib.error.HTTPError as e:
+        body = json.loads(e.read())
+        assert 400 <= e.code < 500, (e.code, body)
+        assert isinstance(body.get("error"), str) and body["error"]
+
+
+def test_server_survives_fuzz_then_serves(server, artifact):
+    """After the fuzz barrage the server still answers a valid request."""
+    status, body = _post(server, {"instances": _instances(1)})
+    assert status == 200 and body["n"] == 1
+
+
+def test_instances_per_request_bound(server):
+    """A request above MAX_INSTANCES is rejected 413 BEFORE preprocessing:
+    per-request backpressure so one client can't flood host memory (the
+    batcher's bounded example queue only engages after preprocess)."""
+    big = [{"text": "x", "image": 1}] * 2000  # > default 1024, never decoded
+    try:
+        _post(server, {"instances": big})
+        pytest.fail("oversized request accepted")
+    except urllib.error.HTTPError as e:
+        body = json.loads(e.read())
+        assert e.code == 413
+        assert "per-request limit" in body["error"]
+
+
+def test_max_instances_override(artifact):
+    path, _ = artifact
+    srv = create_server(path, port=0, max_wait_ms=50.0,
+                        tokenizer=HashTokenizer(), max_instances=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        try:
+            _post(srv, {"instances": _instances(3)})
+            pytest.fail("3 instances accepted with max_instances=2")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+        status, body = _post(srv, {"instances": _instances(2)})
+        assert status == 200 and body["n"] == 2
+    finally:
+        srv.shutdown()
+        srv.service.close()
