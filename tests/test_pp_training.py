@@ -30,10 +30,11 @@ from tests.test_mesh_training_equivalence import make_model, synthetic_batches
 CANVAS = (64, 96)
 
 
-def make_pp_model(task_key, pp_stages=2, pp_virtual=1, pp_microbatches=0):
+def make_pp_model(task_key, pp_stages=2, pp_virtual=1, pp_microbatches=0,
+                  encoder_name="vilt"):
     args = SimpleNamespace(
         batch_size=8, seed=0, ordered_cl_tasks=[task_key],
-        encoder_name="vilt", pretrained_model_name="scratch", tiny=True,
+        encoder_name=encoder_name, pretrained_model_name="scratch", tiny=True,
         synthetic=True, image_height=CANVAS[0], image_width=CANVAS[1],
         pp_stages=pp_stages, pp_virtual=pp_virtual,
         pp_microbatches=pp_microbatches,
@@ -58,7 +59,11 @@ def run_pp_trajectory(model, task_key, batches, n_steps_total=10):
 
 
 def run_single_trajectory(task_key, batches, n_steps_total=10):
-    model = make_model(task_key)
+    return run_single_from(make_model(task_key), task_key, batches,
+                           n_steps_total)
+
+
+def run_single_from(model, task_key, batches, n_steps_total=10):
     tx = make_optimizer(model.params, lr=1e-3, total_steps=n_steps_total,
                         warmup_ratio=0.0, trainable_mask=model.trainable_mask)
     state = TrainState.create(apply_fn=model.module.apply, params=model.params,
@@ -100,6 +105,22 @@ def test_pp_trajectory_matches_single_device(task_key):
 
     assert pipe_sharded_leaves(state.params) > 0
     assert pipe_sharded_leaves(state.opt_state) > 0
+
+
+def test_pp_viltbert_trajectory_matches():
+    """The second encoder family under PP: the nested {bert, vilt} tree —
+    the ViLT side pipelines, the frozen BERT side's stacked leaves are
+    pipe-sharded annotations on its plain scan (GSPMD handles the gathers),
+    and the frozen-BERT trainability mask still applies."""
+    task_key = "snli-ve"
+    batches = synthetic_batches(task_key, n_batches=2)
+
+    model_single = make_model(task_key, encoder_name="viltbert")
+    single, _ = run_single_from(model_single, task_key, batches)
+
+    model = make_pp_model(task_key, pp_stages=2, encoder_name="viltbert")
+    pp, _ = run_pp_trajectory(model, task_key, batches)
+    np.testing.assert_allclose(pp, single, rtol=2e-4)
 
 
 def test_pp_pure_pipeline_no_data_axis():
