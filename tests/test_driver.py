@@ -157,3 +157,19 @@ def test_driver_with_buckets(tmp_path):
     out = tmp_path / "vilt-singletask_ft-task0_snli-ve"
     results = json.loads((out / "results.json").read_text())
     assert results[0]["task_key"] == "snli-ve"
+
+
+def test_driver_with_pp(tmp_path):
+    """--pp_stages runs the whole driver (train + eval + checkpoints)
+    through the pipeline-parallel encoder on a ('data','pipe') CPU mesh;
+    results layout identical to the unsharded path."""
+    import json
+
+    run(tmp_path, "--ordered_cl_tasks", "snli-ve",
+        "--cl_algorithm", "singletask_ft",
+        "--pp_stages", "2", "--do_train", "--do_eval")
+    out = tmp_path / "vilt-singletask_ft-task0_snli-ve"
+    results = json.loads((out / "results.json").read_text())
+    assert results[0]["task_key"] == "snli-ve"
+    assert (out / "checkpoints" / "task0_snli-ve" / "model").is_file()
+    assert (out / "eval_results.json").exists()
