@@ -89,7 +89,7 @@ def _best_rate(fn, n_per_call: int, iters: int = 5) -> float:
     return best / n_per_call
 
 
-def measure_memory_bandwidth(nbytes: int = 64 << 20, iters: int = 5) -> float:
+def measure_memory_bandwidth(nbytes: int = 64 << 20, iters: int = 3) -> float:
     """This host's large-copy bandwidth (bytes/s) — the normalizer for the
     memcpy-bound collate cost."""
     src = np.ones(nbytes, np.uint8)
@@ -108,6 +108,7 @@ def measure_host_costs(
     batch: int = 64,
     iters: int = 5,
     tmpdir: Optional[str] = None,
+    bw_nbytes: int = 64 << 20,
 ) -> dict:
     """Per-example isolated costs (seconds) of every host-path op, using the
     production implementations. Returns the measurement dict consumed by
@@ -138,9 +139,13 @@ def measure_host_costs(
         from climb_tpu.data.image_pipeline import process_image
         from PIL import Image
 
-        im = Image.open(jpg_path)
+        # re-open per call: a reused Image object caches its decoded raster
+        # after the first load, which would time resize-only and understate
+        # the per-example cost the loader actually pays
         out["jpeg_to_canvas_s"] = _best_rate(
-            lambda: [process_image(im, canvas_hw) for _ in range(8)], 8, iters
+            lambda: [process_image(Image.open(jpg_path), canvas_hw)
+                     for _ in range(8)],
+            8, iters,
         )
         out["jpeg_to_canvas_impl"] = "pil-fallback"
 
@@ -174,7 +179,7 @@ def measure_host_costs(
     out["bytes_per_example"] = int(
         sum(np.asarray(v).nbytes for v in example.values())
     )
-    out["host_bw_bytes_per_s"] = measure_memory_bandwidth()
+    out["host_bw_bytes_per_s"] = measure_memory_bandwidth(bw_nbytes)
     if own_tmp:
         import shutil
 

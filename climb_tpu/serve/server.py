@@ -282,11 +282,17 @@ class InferenceService:
         from climb_tpu.data.processor import build_raw_batch
 
         meta = self.meta
-        batch = build_raw_batch(
-            self.processor, meta.get("model_type", "classification"),
-            int(meta.get("num_images", 1)), instances,
-            num_choices=int(meta.get("num_choices") or 0) or None,
-        )
+        try:
+            batch = build_raw_batch(
+                self.processor, meta.get("model_type", "classification"),
+                int(meta.get("num_images", 1)), instances,
+                num_choices=int(meta.get("num_choices") or 0) or None,
+            )
+        except (AttributeError, IndexError) as e:
+            # payload-shaped data reaching the processor with wrong types —
+            # a CLIENT error (re-raised as such); server-side bugs outside
+            # preprocess keep raising their own types into the 500 path
+            raise ValueError(f"malformed instance: {type(e).__name__}: {e}")
         n = len(instances)
         return [{k: v[i] for k, v in batch.items()} for i in range(n)]
 
@@ -422,9 +428,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, out)
         except OverloadedError as e:
             self._json(503, {"error": str(e)})
-        except (ValueError, KeyError, TypeError, AttributeError, IndexError) as e:
-            # malformed payloads surface as these from json/preprocess/
-            # validate layers — all client errors, never a server crash
+        except (ValueError, KeyError, TypeError) as e:
+            # client errors from the json/validate layers (preprocess wraps
+            # ITS payload-shaped failures into ValueError — see
+            # InferenceService.preprocess — so a genuine server bug raising
+            # AttributeError/IndexError still reaches the logged 500 path)
+            logger.debug("client error: %s", e)
             self._json(400, {"error": str(e)})
         except Exception as e:  # noqa: BLE001
             logger.exception("predict failed")

@@ -36,21 +36,29 @@ logger = logging.getLogger(__name__)
 DEFAULT_CACHE_PATH = os.path.expanduser("~/.cache/climb_tpu_accum.json")
 
 
-def shape_key(batch: dict, patch_size: int) -> str:
+def shape_key(batch: dict, patch_size: int, config_sig: str = "") -> str:
     """Cache key: device kind + the shape facts the optimum depends on
-    (per-pass sequence length, batch size, fold multiplicity)."""
-    ids = batch["input_ids"]
-    pv = batch["pixel_values"]
-    seq_len = ids.shape[-1] + 1 + (pv.shape[-3] // patch_size) * (
-        pv.shape[-2] // patch_size
-    )
-    fold = 1
-    if ids.ndim == 3:
-        fold = ids.shape[1]
-    elif pv.ndim == 5:
-        fold = pv.shape[1]
+    (per-pass sequence length, batch size, fold multiplicity — shared with
+    the 'auto' policy via train_step.batch_shape_signature) + a step-config
+    signature (remat/unroll/dtype/... — the optimum is config-dependent:
+    CLAUDE.md's sweeps show noremat+accum always loses, so a pick cached
+    under one config must never be reused under another)."""
+    from climb_tpu.train.train_step import batch_shape_signature
+
+    seq_len, n_seqs, bs = batch_shape_signature(batch, patch_size)
+    fold = n_seqs // bs
     kind = jax.devices()[0].device_kind.replace(" ", "_")
-    return f"{kind}|b{ids.shape[0]}|s{seq_len}|f{fold}"
+    key = f"{kind}|b{bs}|s{seq_len}|f{fold}"
+    return f"{key}|{config_sig}" if config_sig else key
+
+
+def step_config_signature(cfg) -> str:
+    """The ViltConfig facts the accum optimum depends on."""
+    return (
+        f"{cfg.dtype}|remat={int(cfg.remat)}:{cfg.remat_policy}"
+        f"|unroll={cfg.scan_unroll}|attn={cfg.attn_impl}|mlp={cfg.mlp_impl}"
+        f"|qkv={int(cfg.fuse_qkv)}|L={cfg.num_layers}|D={cfg.hidden_size}"
+    )
 
 
 def accum_candidates(batch_size: int, max_accum: int = 16) -> List[int]:
@@ -122,19 +130,24 @@ def sweep_accum(
 
 
 class AccumTuner:
-    """Per-shape sweep results, backed by the persistent cache file."""
+    """Per-(shape, step-config) sweep results, backed by the persistent
+    cache file."""
 
-    def __init__(self, patch_size: int, cache_path: str = DEFAULT_CACHE_PATH):
+    def __init__(self, patch_size: int, cache_path: str = DEFAULT_CACHE_PATH,
+                 config_sig: str = ""):
         self.patch_size = patch_size
         self.cache_path = cache_path
+        self.config_sig = config_sig
         self.cache = load_cache(cache_path)
 
     def get(self, batch) -> Optional[int]:
-        rec = self.cache.get(shape_key(batch, self.patch_size))
+        rec = self.cache.get(
+            shape_key(batch, self.patch_size, self.config_sig)
+        )
         return int(rec["accum"]) if rec else None
 
     def tune(self, make_step, state, batch, rng) -> int:
-        key = shape_key(batch, self.patch_size)
+        key = shape_key(batch, self.patch_size, self.config_sig)
         rec = self.cache.get(key)
         if rec is None:
             logger.info("accum sweep for shape %s (one-time, cached)", key)

@@ -89,10 +89,23 @@ def create_cl_model(
                 "--pp_stages does not support int8 dense (no 'quant' "
                 "collection threading through the stage schedule)"
             )
-        if mesh is None:
-            from climb_tpu.parallel.mesh import make_dp_pp_mesh
+        from climb_tpu.parallel.mesh import PIPE_AXIS, make_dp_pp_mesh
 
+        if mesh is None:
             mesh = make_dp_pp_mesh(pp_stages)
+        elif PIPE_AXIS not in mesh.axis_names:
+            # e.g. --use_mesh built a ('data','model') mesh before the
+            # factory ran — fail actionably instead of deep inside device_put
+            raise ValueError(
+                f"--pp_stages needs a mesh with a '{PIPE_AXIS}' axis "
+                f"(got {mesh.axis_names}); drop --use_mesh — --pp_stages "
+                f"builds its own ('data','pipe') mesh"
+            )
+        elif mesh.shape[PIPE_AXIS] != pp_stages:
+            raise ValueError(
+                f"mesh '{PIPE_AXIS}' axis is {mesh.shape[PIPE_AXIS]} but "
+                f"--pp_stages={pp_stages}"
+            )
         cfg = cfg.replace(
             pp_stages=pp_stages,
             pp_virtual=int(getattr(args, "pp_virtual", 1) or 1),

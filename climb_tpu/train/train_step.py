@@ -182,11 +182,11 @@ def auto_grad_accum(seq_len: int, n_seqs: int,
     return accum
 
 
-def auto_grad_accum_for_batch(batch: dict, patch_size: int,
-                              token_budget: int = None) -> int:
-    """Derive the auto accum from a concrete batch's (possibly bucketed)
-    shapes: per-pass sequence length = text_len + [CLS] + patch count, and
-    the encoder-sequence count includes the image-pair / multi-choice fold."""
+def batch_shape_signature(batch: dict, patch_size: int):
+    """(per-pass seq_len, encoder-seq count incl. fold, splittable batch
+    size) for a concrete (possibly bucketed) batch — the shape facts every
+    accum policy keys on (shared with accum_tune's sweep cache so the two
+    can never disagree on what 'same shape' means)."""
     ids = batch["input_ids"]
     pv = batch["pixel_values"]
     text_len = ids.shape[-1]
@@ -197,10 +197,18 @@ def auto_grad_accum_for_batch(batch: dict, patch_size: int,
         n_seqs *= ids.shape[1]
     elif pv.ndim == 5:  # image-pair fold (B, 2, H, W, 3)
         n_seqs *= pv.shape[1]
+    return seq_len, n_seqs, ids.shape[0]
+
+
+def auto_grad_accum_for_batch(batch: dict, patch_size: int,
+                              token_budget: int = None) -> int:
+    """Derive the auto accum from a concrete batch's (possibly bucketed)
+    shapes: per-pass sequence length = text_len + [CLS] + patch count, and
+    the encoder-sequence count includes the image-pair / multi-choice fold."""
+    seq_len, n_seqs, bs = batch_shape_signature(batch, patch_size)
     # accum splits the BATCH axis, so it must divide batch size; fold
     # multiplies sequences per microbatch but not the splittable axis
     accum = auto_grad_accum(seq_len, n_seqs, token_budget)
-    bs = ids.shape[0]
     while bs % accum:
         accum //= 2
     return max(1, accum)

@@ -225,22 +225,28 @@ class VLTaskTrainer(TaskTrainer):
         patch_size = model.cfg.patch_size
 
         if str(accum_arg) == "sweep":
-            # measured, not predicted: one-time on-device sweep per batch
-            # shape, cached persistently per device kind (accum_tune.py) —
-            # the portable mode for chip generations the 'auto' token-budget
-            # constant was not measured on
-            from climb_tpu.train.accum_tune import AccumTuner
+            # measured, not predicted: one-time on-device sweep per
+            # (batch shape, step config), cached persistently per device
+            # kind (accum_tune.py) — the portable mode for chip generations
+            # the 'auto' token-budget constant was not measured on
+            from climb_tpu.train.accum_tune import (
+                AccumTuner,
+                step_config_signature,
+            )
 
-            tuner = AccumTuner(patch_size)
+            tuner = AccumTuner(
+                patch_size, config_sig=step_config_signature(model.cfg)
+            )
+            # memoizing factory: the sweep's candidate steps (including the
+            # winner) stay cached — no recompile of the winning accum after
+            # the sweep (each jit is 1-2 min through the TPU tunnel)
+            make_cached = lambda a: steps.setdefault(a, make(a))
 
             def dispatch(state, batch, rng, ewc_ref=None, fd_ref=None):
                 a = tuner.get(batch)
                 if a is None:
-                    a = tuner.tune(make, state, batch, rng)
-                fn = steps.get(a)
-                if fn is None:
-                    fn = steps[a] = make(a)
-                return fn(state, batch, rng, ewc_ref, fd_ref)
+                    a = tuner.tune(make_cached, state, batch, rng)
+                return make_cached(a)(state, batch, rng, ewc_ref, fd_ref)
 
             return dispatch
 

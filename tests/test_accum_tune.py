@@ -144,3 +144,28 @@ def test_sweep_timing_does_not_perturb_trajectory():
         return losses
 
     np.testing.assert_array_equal(run(False), run(True))
+
+
+def test_tuner_config_signature_separates_cache_entries(tmp_path):
+    """A pick swept under one step config must not be reused under another
+    (noremat+accum always loses — CLAUDE.md): different config_sig, same
+    shape -> separate cache rows."""
+    path = str(tmp_path / "accum.json")
+    batch = _fake_batch()
+
+    def make(a):
+        return lambda s, b, r: (s, {"loss": jnp.zeros(())})
+
+    t1 = AccumTuner(32, cache_path=path, config_sig="bf16|remat=1:selective")
+    a1 = t1.tune(make, None, batch, None)
+    t2 = AccumTuner(32, cache_path=path, config_sig="f32|remat=0:full")
+    assert t2.get(batch) is None  # no cross-config reuse
+    t2.tune(make, None, batch, None)
+    assert len(load_cache(path)) == 2
+
+    from climb_tpu.train.accum_tune import step_config_signature
+    from climb_tpu.models.model_config import ViltConfig
+
+    sig = step_config_signature(ViltConfig(remat=True, remat_policy="selective"))
+    assert "remat=1:selective" in sig and "unroll=" in sig
+    assert a1 in (1, 2, 4, 8)

@@ -40,7 +40,8 @@ def test_measure_host_costs_live(tmp_path):
     """The measurement functions run against the production ops (small
     canvas so the test stays fast) and yield finite, positive costs."""
     measured = measure_host_costs(canvas_hw=(64, 96), text_len=16, batch=8,
-                                  iters=2, tmpdir=str(tmp_path))
+                                  iters=2, tmpdir=str(tmp_path),
+                                  bw_nbytes=1 << 20)
     for key in ("jpeg_to_canvas_s", "tokenize_s", "collate_s_raw"):
         assert 0 < measured[key] < 10.0, (key, measured[key])
     assert measured["bytes_per_example"] > 64 * 96 * 3

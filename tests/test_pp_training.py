@@ -201,3 +201,23 @@ def test_pp_config_requires_pipe_mesh():
     params = core.init(jax.random.PRNGKey(0), **batch)["params"]
     with pytest.raises(ValueError, match="pipe"):
         core.apply({"params": params}, **batch)
+
+
+def test_pp_rejects_mesh_without_pipe_axis():
+    """--use_mesh's ('data','model') mesh reaching the factory with
+    --pp_stages must fail actionably, not deep inside device_put."""
+    from climb_tpu.parallel.mesh import make_mesh
+
+    args = SimpleNamespace(
+        batch_size=8, seed=0, ordered_cl_tasks=["snli-ve"],
+        encoder_name="vilt", pretrained_model_name="scratch", tiny=True,
+        synthetic=True, image_height=CANVAS[0], image_width=CANVAS[1],
+        pp_stages=2,
+    )
+    with pytest.raises(ValueError, match="pipe"):
+        create_cl_model(args, task_configs, mesh=make_mesh(n_model=2))
+    with pytest.raises(ValueError, match="pp_stages=4"):
+        create_cl_model(
+            args.__class__(**{**vars(args), "pp_stages": 4}), task_configs,
+            mesh=make_dp_pp_mesh(2),
+        )
