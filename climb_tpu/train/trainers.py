@@ -360,7 +360,10 @@ class VLTaskTrainer(TaskTrainer):
             from climb_tpu.utils.preemption import install_preemption_handler
 
             preempt = install_preemption_handler()
-        from climb_tpu.utils.preemption import preemption_requested
+        from climb_tpu.utils.preemption import (
+            preemption_requested,
+            uninstall_preemption_handler,
+        )
 
         try:
             fd_ref = (
@@ -387,6 +390,12 @@ class VLTaskTrainer(TaskTrainer):
                     logger.exception("async checkpoint writer failed during "
                                      "teardown (original error propagates)")
             raise
+        finally:
+            # the SIGTERM handler is scoped to this train loop: leaving it
+            # installed would swallow later SIGTERMs that nothing polls for
+            # (e.g. a test process after an in-process driver run)
+            if preempt:
+                uninstall_preemption_handler()
         if awriter is not None:
             awriter.close()  # clean path: re-raises any writer error
         if state_path and _os.path.exists(state_path):

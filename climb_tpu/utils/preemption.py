@@ -19,28 +19,48 @@ import threading
 logger = logging.getLogger(__name__)
 
 _FLAG = threading.Event()
-_INSTALLED = False
+# stack of {signal: previous_handler} maps, one entry per active install —
+# handlers are SCOPED to a train loop (install at entry, uninstall in a
+# finally), never left behind process-wide: a leaked flag-only handler would
+# make the host process silently un-terminable by SIGTERM after the loop
+# ends (observed: a pytest run that had exercised a trainer in-process
+# outlived its `timeout ...` wrapper because the wrapper's SIGTERM only set
+# this flag, which nothing was polling anymore).
+_PREV = []
 
 
 def install_preemption_handler(signals=(signal.SIGTERM,)) -> bool:
-    """Install (idempotently) flag-setting handlers. Returns False when not
-    running in the main thread (signal module restriction)."""
-    global _INSTALLED
-    if _INSTALLED:
-        return True
+    """Install flag-setting handlers, saving the previous ones for
+    ``uninstall_preemption_handler``. Returns False when not running in the
+    main thread (signal module restriction). Nested installs stack."""
 
     def _handler(signum, frame):
         logger.warning("Received signal %d: will checkpoint and exit at the "
                        "next step boundary", signum)
         _FLAG.set()
 
+    saved = {s: signal.getsignal(s) for s in signals}
     try:
         for s in signals:
             signal.signal(s, _handler)
     except ValueError:  # not in main thread
         return False
-    _INSTALLED = True
+    _PREV.append(saved)
     return True
+
+
+def uninstall_preemption_handler() -> None:
+    """Restore the handlers saved by the matching install. When the last
+    scope exits, also clear a pending (un-acted-on) flag so a later train
+    loop in the same process doesn't phantom-preempt on its first step."""
+    if _PREV:
+        for s, h in _PREV.pop().items():
+            try:
+                signal.signal(s, h)
+            except ValueError:
+                pass
+    if not _PREV:
+        _FLAG.clear()
 
 
 def preemption_requested() -> bool:

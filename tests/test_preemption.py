@@ -27,10 +27,30 @@ def _clear_flag():
 
 
 def test_sigterm_sets_flag():
+    before = signal.getsignal(signal.SIGTERM)
     assert preemption.install_preemption_handler()
+    try:
+        assert not preemption.preemption_requested()
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert preemption.preemption_requested()
+    finally:
+        preemption.uninstall_preemption_handler()
+    # the handler must not outlive its scope: a leaked flag-only handler
+    # makes the whole process ignore SIGTERM (observed: a pytest run
+    # outliving its `timeout` wrapper)
+    assert signal.getsignal(signal.SIGTERM) is before
     assert not preemption.preemption_requested()
-    os.kill(os.getpid(), signal.SIGTERM)
-    assert preemption.preemption_requested()
+
+
+def test_trainer_restores_sigterm_handler(tmp_path):
+    """A completed in-process train loop must leave the process SIGTERM
+    handler exactly as it found it (the install is scoped via finally)."""
+    before = signal.getsignal(signal.SIGTERM)
+    args = make_args(tmp_path)
+    model = create_cl_model(args, task_configs)
+    trainer = _make_trainer(args)
+    trainer.train(model)
+    assert signal.getsignal(signal.SIGTERM) is before
 
 
 def test_preempted_mid_epoch_resumes_to_identical_params(tmp_path):
