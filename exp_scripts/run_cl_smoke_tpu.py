@@ -21,11 +21,19 @@ Writes CL_RUN_r03.json at the repo root:
   epoch ex/s samples, eval_results (forgetting matrix), compile-cache
   population delta (files added to the persistent XLA cache).
 
-Usage (on the real TPU; ~1-1.5h, mostly tunnel compiles on the cold cache):
+Usage (on the real TPU; ~1-1.5h per algorithm, mostly tunnel compiles on the
+cold cache):
   python exp_scripts/run_cl_smoke_tpu.py [--out CL_RUN_r03.json] [--tiny-cpu]
+      [--algorithms sequential_ft,experience_replay,adapter,ewc]
+      [--encoder vilt|viltbert] [--tasks vqa,nlvr2,...]
+
+Re-invocations MERGE into an existing artifact: records are keyed on
+(encoder, algorithm), so each hardware run extends CL_RUN_r03.json rather
+than clobbering it.
 
 --tiny-cpu runs the identical flow on the 8-device CPU platform with the tiny
-model config (~5 min) — the rehearsal mode this script was validated with.
+model config (~5 min per algorithm) — the rehearsal mode this script was
+validated with; its artifact defaults to /tmp, never the committed one.
 """
 
 import argparse
@@ -48,12 +56,13 @@ def cache_file_count() -> int:
     return sum(len(fs) for _, _, fs in os.walk(CACHE_DIR))
 
 
-def driver_argv(algorithm: str, out_dir: str, tiny_cpu: bool) -> list:
+def driver_argv(algorithm: str, out_dir: str, tiny_cpu: bool,
+                encoder: str = "vilt", tasks: str = TASKS) -> list:
     argv = [
         sys.executable, "-m", "climb_tpu.cli.train_upstream_continual_learning",
-        "--encoder_name", "vilt",
+        "--encoder_name", encoder,
         "--pretrained_model_name", "scratch",
-        "--ordered_cl_tasks", TASKS,
+        "--ordered_cl_tasks", tasks,
         "--cl_algorithm", algorithm,
         "--climb_data_dir", "/tmp/climb_synth",
         "--output_dir", out_dir,
@@ -82,6 +91,19 @@ def driver_argv(algorithm: str, out_dir: str, tiny_cpu: bool) -> list:
         argv += ["--memory_percentage", "0.01",
                  "--memory_sampling_strategy", "random",
                  "--replay_frequency", "100"]
+    elif algorithm == "adapter":
+        # the paper's flagship algorithm — per-task Houlsby adapters at the
+        # reference reduction (exp_scripts/.../vilt-adapter_vanilla.sh)
+        argv += ["--adapter_method", "vanilla",
+                 "--adapter_config", "houlsby",
+                 "--adapter_reduction_factor", "16"]
+    elif algorithm == "ewc":
+        # reference settings (exp_scripts/.../vilt-ewc.sh)
+        argv += ["--ewc_fisher_sample_percentage", "0.01",
+                 "--ewc_loss_weight", "100.0"]
+    elif algorithm == "freeze_bottom_k_layers":
+        # the paper setting (exp_scripts/.../vilt-freeze_bottom9layers.sh)
+        argv += ["--layers_to_freeze", "9"]
     if tiny_cpu:
         argv += ["--tiny", "--synthetic_train_size", "128"]
     return argv
@@ -134,11 +156,13 @@ def parse_log(log_path: str) -> dict:
     return tasks
 
 
-def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool) -> dict:
-    out_dir = os.path.join(base_out, algorithm)
+def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool,
+                  encoder: str = "vilt", tasks: str = TASKS) -> dict:
+    out_dir = os.path.join(base_out, f"{encoder}-{algorithm}"
+                           if encoder != "vilt" else algorithm)
     os.makedirs(out_dir, exist_ok=True)
     log_path = os.path.join(out_dir, "driver.log")
-    argv = driver_argv(algorithm, out_dir, tiny_cpu)
+    argv = driver_argv(algorithm, out_dir, tiny_cpu, encoder, tasks)
 
     env = dict(os.environ)
     if tiny_cpu:
@@ -159,6 +183,8 @@ def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool) -> dict:
                 if os.path.isdir(os.path.join(out_dir, d))]
     record = {
         "algorithm": algorithm,
+        "encoder": encoder,
+        "task_order": tasks,
         "returncode": rc,
         "wall_clock_s": round(wall, 1),
         "compile_cache_files_added": cache_after - cache_before,
@@ -176,7 +202,10 @@ def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "CL_RUN_r03.json"))
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default: CL_RUN_r03.json at the repo "
+                         "root; a CPU rehearsal defaults to /tmp so it can "
+                         "never clobber the committed TPU artifact)")
     ap.add_argument("--base-out", default=None,
                     help="experiment output root (default: a per-platform "
                          "dir, so a CPU rehearsal's checkpoints can never be "
@@ -184,10 +213,19 @@ def main():
     ap.add_argument("--tiny-cpu", action="store_true",
                     help="rehearse the identical flow on the CPU mesh (~5 min)")
     ap.add_argument("--algorithms", default="sequential_ft,experience_replay")
+    ap.add_argument("--encoder", default="vilt", choices=["vilt", "viltbert"],
+                    help="encoder family (viltbert = frozen-BERT text side)")
+    ap.add_argument("--tasks", default=TASKS,
+                    help="comma-separated ordered task keys (subset runs keep "
+                         "the compile ladder small for the slower encoder)")
     flags = ap.parse_args()
     if flags.base_out is None:
         flags.base_out = ("/tmp/climb_cl_smoke_cpu" if flags.tiny_cpu
                           else "/tmp/climb_cl_smoke_tpu")
+    if flags.out is None:
+        flags.out = ("/tmp/climb_cl_smoke_cpu/CL_RUN_rehearsal.json"
+                     if flags.tiny_cpu else os.path.join(REPO, "CL_RUN_r03.json"))
+        os.makedirs(os.path.dirname(flags.out), exist_ok=True)
 
     import platform
 
@@ -207,9 +245,21 @@ def main():
         },
         "runs": [],
     }
+    # accumulate into an existing artifact: re-running one (encoder, algorithm)
+    # replaces its record, new combinations append after the existing ones
+    rerun = {(flags.encoder, a) for a in flags.algorithms.split(",")}
+    if os.path.exists(flags.out):
+        with open(flags.out) as f:
+            prior = json.load(f)
+        if prior.get("platform") == results["platform"]:
+            results["runs"] = [
+                r for r in prior.get("runs", [])
+                if (r.get("encoder", "vilt"), r["algorithm"]) not in rerun
+            ]
     for algorithm in flags.algorithms.split(","):
-        print(f"=== {algorithm} ===", flush=True)
-        rec = run_algorithm(algorithm, flags.base_out, flags.tiny_cpu)
+        print(f"=== {flags.encoder}-{algorithm} ===", flush=True)
+        rec = run_algorithm(algorithm, flags.base_out, flags.tiny_cpu,
+                            flags.encoder, flags.tasks)
         results["runs"].append(rec)
         ok = rec["returncode"] == 0 and "eval_results" in rec
         print(f"    rc={rec['returncode']} wall={rec['wall_clock_s']}s "
