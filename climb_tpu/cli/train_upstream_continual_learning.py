@@ -306,6 +306,21 @@ def main(argv=None):
                   and task_num < len(args.ordered_cl_tasks) - 1):
                 distill.save_teacher(task_key, model.params)
 
+            # a SIGTERM that landed after the train loop's last poll (e.g.
+            # during end-of-task eval or checkpointing) survives the scoped
+            # handler; honor it here — the task boundary is the ideal resume
+            # point (completed tasks are skipped, algorithm state above is
+            # rebuilt on rerun)
+            from climb_tpu.utils.preemption import preemption_requested
+
+            if preemption_requested():
+                logger.warning(
+                    "Preemption requested during task %s wrap-up; exiting 143 "
+                    "at the task boundary (rerun skips completed tasks)",
+                    task_name,
+                )
+                raise SystemExit(143)
+
     if args.do_eval:
         logger.info("Evaluating upstream knowledge transfer...")
         upstream_dict = upstream_knowledge_transfer_eval(args, results_file)

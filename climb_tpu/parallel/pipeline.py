@@ -111,10 +111,18 @@ def interleave_for_pipeline(stacked_params, n_stages: int, n_virtual: int):
     L/(n_stages*n_virtual)) to device s % n_stages; sharding the leading
     axis contiguously over the pipe axis therefore needs a device-major
     layout: device d's rows are the chunks of stages {d, P+d, 2P+d, ...} in
-    round order. Apply this ONCE to the stacked params before
-    ``pipeline_layers(..., n_virtual>1)`` (and keep them stored this way —
-    a per-step gather of the whole parameter tree would cost real HBM
-    bandwidth)."""
+    round order.
+
+    Two usage modes:
+    - Long-lived stacks you control end-to-end: apply ONCE and keep the
+      params stored interleaved — zero per-step cost.
+    - The trainer path (ViltCore.pipeline_encode) deliberately keeps stored
+      params CANONICAL — checkpoints, freeze masks, EWC/adapter trees, and
+      HF grafting all stay pipeline-agnostic — and pays this reorder inside
+      the jitted step instead: one gather of the layer-stacked tree forward
+      + its scatter-add transpose backward per step (~2x stacked-tree bytes
+      over ICI; small vs a training step, quantified in docs/SCALING.md).
+      tests/test_pp_training.py pins the trajectory equivalence."""
     if n_virtual <= 1:
         return stacked_params
     import numpy as np

@@ -36,19 +36,24 @@ logger = logging.getLogger(__name__)
 DEFAULT_CACHE_PATH = os.path.expanduser("~/.cache/climb_tpu_accum.json")
 
 
-def shape_key(batch: dict, patch_size: int, config_sig: str = "") -> str:
-    """Cache key: device kind + the shape facts the optimum depends on
-    (per-pass sequence length, batch size, fold multiplicity — shared with
-    the 'auto' policy via train_step.batch_shape_signature) + a step-config
-    signature (remat/unroll/dtype/... — the optimum is config-dependent:
-    CLAUDE.md's sweeps show noremat+accum always loses, so a pick cached
-    under one config must never be reused under another)."""
+def shape_key(batch: dict, patch_size: int, config_sig: str = "",
+              n_devices: int = 1) -> str:
+    """Cache key: device kind + topology + the shape facts the optimum
+    depends on (per-pass sequence length, batch size, fold multiplicity —
+    shared with the 'auto' policy via train_step.batch_shape_signature) + a
+    step-config signature (remat/unroll/dtype/... — the optimum is
+    config-dependent: CLAUDE.md's sweeps show noremat+accum always loses, so
+    a pick cached under one config must never be reused under another).
+    ``n_devices`` is the number of devices the step spans: the microbatch
+    optimum tracks the PER-DEVICE batch, so a single-chip pick at global
+    batch 64 must not be served to an 8-chip mesh run at the same global
+    batch (per-device batch 8)."""
     from climb_tpu.train.train_step import batch_shape_signature
 
     seq_len, n_seqs, bs = batch_shape_signature(batch, patch_size)
     fold = n_seqs // bs
     kind = jax.devices()[0].device_kind.replace(" ", "_")
-    key = f"{kind}|b{bs}|s{seq_len}|f{fold}"
+    key = f"{kind}|n{n_devices}|b{bs}|s{seq_len}|f{fold}"
     return f"{key}|{config_sig}" if config_sig else key
 
 
@@ -86,18 +91,20 @@ def save_cache(cache: Dict[str, dict], path: str = DEFAULT_CACHE_PATH) -> None:
     os.replace(tmp, path)
 
 
-def _time_step(step_fn: Callable, state, batch, rng, warmup: int = 1,
-               iters: int = 2) -> float:
+def _time_step(step_fn: Callable, state, batch, rng, *refs,
+               warmup: int = 1, iters: int = 2) -> float:
     """Median-free best-of-iters wall time of one train step, on throwaway
     state copies (the step donates its state argument, so each call gets a
-    fresh copy; the caller's state is never touched). float(loss) forces a
-    device sync — block_until_ready alone is not a hard sync through the
-    remote-TPU tunnel (CLAUDE.md)."""
+    fresh copy; the caller's state is never touched). ``*refs`` (ewc_ref /
+    fd_ref) are forwarded so the timed computation — and the jitted arg
+    treedef the winner is cached under — is exactly the production step.
+    float(loss) forces a device sync — block_until_ready alone is not a hard
+    sync through the remote-TPU tunnel (CLAUDE.md)."""
 
     def run_once():
         scratch = jax.tree_util.tree_map(jnp.copy, state)
         t0 = time.perf_counter()
-        _, metrics = step_fn(scratch, batch, rng)
+        _, metrics = step_fn(scratch, batch, rng, *refs)
         float(metrics["loss"])
         return time.perf_counter() - t0
 
@@ -111,19 +118,22 @@ def sweep_accum(
     state,
     batch,
     rng,
+    *refs,
     candidates: Optional[List[int]] = None,
     timer: Callable = _time_step,
 ) -> dict:
     """Time every candidate accum value on-device; return
     ``{"accum": best, "times_s": {str(a): t}}``. ``make_step(a)`` must build
-    the jitted train step for accum ``a`` (trainer's own factory)."""
+    the jitted train step for accum ``a`` (trainer's own factory); ``*refs``
+    are extra step arguments (ewc_ref / fd_ref) the production step runs
+    with."""
     if candidates is None:
         bs = jax.tree_util.tree_leaves(batch)[0].shape[0]
         candidates = accum_candidates(bs)
     assert 1 in candidates, "accum=1 must be a candidate (the no-regression floor)"
     times = {}
     for a in candidates:
-        times[str(a)] = timer(make_step(a), state, batch, rng)
+        times[str(a)] = timer(make_step(a), state, batch, rng, *refs)
         logger.info("accum sweep: accum=%d -> %.4fs/step", a, times[str(a)])
     best = int(min(times, key=times.get))
     return {"accum": best, "times_s": times}
@@ -134,24 +144,31 @@ class AccumTuner:
     cache file."""
 
     def __init__(self, patch_size: int, cache_path: str = DEFAULT_CACHE_PATH,
-                 config_sig: str = ""):
+                 config_sig: str = "", n_devices: int = 1):
         self.patch_size = patch_size
         self.cache_path = cache_path
         self.config_sig = config_sig
+        self.n_devices = n_devices
         self.cache = load_cache(cache_path)
 
-    def get(self, batch) -> Optional[int]:
-        rec = self.cache.get(
-            shape_key(batch, self.patch_size, self.config_sig)
-        )
+    def _key(self, batch, refs=()) -> str:
+        key = shape_key(batch, self.patch_size, self.config_sig,
+                        self.n_devices)
+        # active EWC/distill refs add real compute to the step (fused
+        # penalty / teacher forward), shifting the optimum — key on presence
+        tag = "".join("1" if r is not None else "0" for r in refs)
+        return f"{key}|r{tag}" if tag.strip("0") else key
+
+    def get(self, batch, *refs) -> Optional[int]:
+        rec = self.cache.get(self._key(batch, refs))
         return int(rec["accum"]) if rec else None
 
-    def tune(self, make_step, state, batch, rng) -> int:
-        key = shape_key(batch, self.patch_size, self.config_sig)
+    def tune(self, make_step, state, batch, rng, *refs) -> int:
+        key = self._key(batch, refs)
         rec = self.cache.get(key)
         if rec is None:
             logger.info("accum sweep for shape %s (one-time, cached)", key)
-            rec = sweep_accum(make_step, state, batch, rng)
+            rec = sweep_accum(make_step, state, batch, rng, *refs)
             self.cache[key] = rec
             try:
                 save_cache(self.cache, self.cache_path)

@@ -43,7 +43,10 @@ def vilt_config_from_args(args, needs_three_modalities: bool) -> ViltConfig:
     )
     if getattr(args, "tiny", False):
         kw.update(
-            vocab_size=2048, hidden_size=64, num_layers=2, num_heads=4,
+            vocab_size=2048, hidden_size=64,
+            # overridable for tests that need a divisibility property
+            # (e.g. interleaved PP needs L % (stages*virtual) == 0)
+            num_layers=getattr(args, "num_layers", 2), num_heads=4,
             intermediate_size=128, image_height=64, image_width=96,
             patch_size=32, pretrain_image_size=64,
         )

@@ -234,18 +234,34 @@ class VLTaskTrainer(TaskTrainer):
                 step_config_signature,
             )
 
-            tuner = AccumTuner(
-                patch_size, config_sig=step_config_signature(model.cfg)
+            import jax as _jax
+
+            sharded = any(
+                getattr(self.args, f, False)
+                for f in ("use_mesh", "fsdp", "pp_stages")
             )
+            tuner = AccumTuner(
+                patch_size,
+                config_sig=step_config_signature(model.cfg),
+                n_devices=_jax.device_count() if sharded else 1,
+            )
+
             # memoizing factory: the sweep's candidate steps (including the
             # winner) stay cached — no recompile of the winning accum after
             # the sweep (each jit is 1-2 min through the TPU tunnel)
-            make_cached = lambda a: steps.setdefault(a, make(a))
+            def make_cached(a):
+                fn = steps.get(a)
+                if fn is None:
+                    fn = steps[a] = make(a)
+                return fn
 
             def dispatch(state, batch, rng, ewc_ref=None, fd_ref=None):
-                a = tuner.get(batch)
+                a = tuner.get(batch, ewc_ref, fd_ref)
                 if a is None:
-                    a = tuner.tune(make_cached, state, batch, rng)
+                    # time with the production refs so the measured step —
+                    # and the winner's jitted arg treedef — match training
+                    a = tuner.tune(make_cached, state, batch, rng,
+                                   ewc_ref, fd_ref)
                 return make_cached(a)(state, batch, rng, ewc_ref, fd_ref)
 
             return dispatch
@@ -512,7 +528,10 @@ class VLTaskTrainer(TaskTrainer):
                         "saved to %s; exiting 143",
                         self.task_key, epoch, steps_this_epoch, state_path,
                     )
-                    raise SystemExit(143)
+                    from climb_tpu.utils.preemption import clear_preemption
+
+                    clear_preemption()  # acted on: in-process callers
+                    raise SystemExit(143)  # (tests) must not re-preempt
             dt = time.time() - t0
             do_eval = self.eval_epochs is None or epoch in self.eval_epochs
             if do_eval:

@@ -50,17 +50,29 @@ def install_preemption_handler(signals=(signal.SIGTERM,)) -> bool:
 
 
 def uninstall_preemption_handler() -> None:
-    """Restore the handlers saved by the matching install. When the last
-    scope exits, also clear a pending (un-acted-on) flag so a later train
-    loop in the same process doesn't phantom-preempt on its first step."""
+    """Restore the handlers saved by the matching install.
+
+    A pending un-acted-on flag deliberately SURVIVES uninstall: a SIGTERM
+    that lands after the loop's last poll (e.g. during end-of-task eval or
+    the best-param save) must not be silently dropped — the multi-task
+    driver polls ``preemption_requested()`` between tasks and exits 143.
+    Acted-on preemptions clear the flag at their exit point, so a later
+    train loop in the same process never phantom-preempts.
+    """
     if _PREV:
         for s, h in _PREV.pop().items():
+            if h is None:
+                # signal.getsignal returned None at install time: the prior
+                # handler was installed from C and cannot be re-installed
+                # from Python; SIG_DFL is the closest safe restoration.
+                h = signal.SIG_DFL
             try:
                 signal.signal(s, h)
-            except ValueError:
+            except (ValueError, TypeError, OSError):
                 pass
-    if not _PREV:
-        _FLAG.clear()
+    if not _PREV and _FLAG.is_set():
+        logger.warning("Preemption was requested but not yet acted on; the "
+                       "request stays pending for the caller to honor")
 
 
 def preemption_requested() -> bool:

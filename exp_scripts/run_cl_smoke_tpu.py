@@ -236,8 +236,11 @@ def main():
                 "throughput headline is bench.py's)",
         "platform": "cpu-rehearsal" if flags.tiny_cpu else "tpu",
         "host": platform.node(),
+        # step config shared by every run; per-run settings (encoder,
+        # task_order) live in each run record
         "config": {
-            "tasks": TASKS, "batch_size": 64, "synthetic_train_size": 512,
+            "batch_size": 64,
+            "synthetic_train_size": 128 if flags.tiny_cpu else 512,
             "compute_dtype": "bfloat16", "remat": "selective",
             "scan_unroll": 12, "grad_accum_steps": "auto",
             "aspect_buckets": "384,640", "text_buckets": "24,40",

@@ -36,13 +36,16 @@ def _fake_batch(bs=8, text_len=12, hw=(64, 96)):
 
 def test_shape_key_fields():
     key = shape_key(_fake_batch(), patch_size=32)
-    kind, b, s, f = key.split("|")
-    assert b == "b8" and f == "f1"
+    kind, n, b, s, f = key.split("|")
+    assert n == "n1" and b == "b8" and f == "f1"
     assert s == f"s{12 + 1 + 2 * 3}"
     # fold multiplicity: multi-choice (B, C, L) text
     mc = dict(_fake_batch())
     mc["input_ids"] = jnp.ones((8, 4, 12), jnp.int32)
     assert shape_key(mc, 32).endswith("|f4")
+    # topology: a single-chip pick must not be served to a mesh run at the
+    # same GLOBAL batch (per-device batch differs)
+    assert shape_key(_fake_batch(), 32, n_devices=8) != key
 
 
 def test_sweep_picks_fastest_and_never_loses_to_accum1():
@@ -144,6 +147,35 @@ def test_sweep_timing_does_not_perturb_trajectory():
         return losses
 
     np.testing.assert_array_equal(run(False), run(True))
+
+
+def test_tuner_forwards_refs_and_keys_on_their_presence(tmp_path):
+    """An EWC/distill run's sweep must (a) time the step WITH the production
+    refs — the penalty/teacher compute is part of what's being measured, and
+    omitting them would also force a retrace of the winner under the real
+    treedef — and (b) cache under a refs-aware key so the plain-CE pick for
+    the same shape is not reused."""
+    path = str(tmp_path / "accum.json")
+    batch = _fake_batch()
+    seen_refs = []
+
+    def make(a):
+        def step(state, b, rng, *refs):
+            seen_refs.append(refs)
+            return state, {"loss": jnp.zeros(())}
+
+        return step
+
+    tuner = AccumTuner(32, cache_path=path)
+    ewc_ref = {"fisher": jnp.ones(3)}
+    assert tuner.get(batch, ewc_ref, None) is None
+    a = tuner.tune(make, None, batch, None, ewc_ref, None)
+    assert all(r == (ewc_ref, None) for r in seen_refs)  # refs reached the step
+    assert tuner.get(batch, ewc_ref, None) == a
+    # plain run (no refs) of the same shape: separate cache row
+    assert tuner.get(batch) is None
+    assert tuner.get(batch, None, None) is None
+    assert any(k.endswith("|r10") for k in load_cache(path))
 
 
 def test_tuner_config_signature_separates_cache_entries(tmp_path):

@@ -123,6 +123,40 @@ def test_pp_viltbert_trajectory_matches():
     np.testing.assert_allclose(pp, single, rtol=2e-4)
 
 
+def test_pp_virtual_trainer_trajectory_matches_single_device():
+    """The circular/interleaved schedule (pp_virtual=2) through the TRAINER
+    path — including the per-apply canonical->interleaved param gather that
+    keeps stored params checkpoint-canonical — must reproduce the
+    single-device trajectory. 4 layers so L % (stages*virtual) == 0."""
+    task_key = "snli-ve"
+    batches = synthetic_batches(task_key, n_batches=2)
+
+    base_args = dict(
+        batch_size=8, seed=0, ordered_cl_tasks=[task_key],
+        encoder_name="vilt", pretrained_model_name="scratch", tiny=True,
+        num_layers=4, synthetic=True, image_height=CANVAS[0],
+        image_width=CANVAS[1],
+    )
+    single_model = create_cl_model(SimpleNamespace(**base_args), task_configs)
+    model = create_cl_model(
+        SimpleNamespace(**base_args, pp_stages=2, pp_virtual=2,
+                        pp_microbatches=2),
+        task_configs,
+    )
+    assert model.cfg.num_layers == 4 and model.cfg.pp_virtual == 2
+    # stored params stay canonical even under the interleaved schedule
+    # (host copies up front: the train steps donate the device buffers)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(single_model.params), jax.device_get(model.params),
+    )
+
+    single, _ = run_single_from(single_model, task_key, batches)
+    assert all(np.isfinite(single)), single
+    pp, _ = run_pp_trajectory(model, task_key, batches)
+    np.testing.assert_allclose(pp, single, rtol=2e-4)
+
+
 def test_pp_pure_pipeline_no_data_axis():
     """A pipe-only mesh (data axis size 1): the batch_axis=None path."""
     task_key = "snli-ve"

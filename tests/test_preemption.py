@@ -39,7 +39,10 @@ def test_sigterm_sets_flag():
     # makes the whole process ignore SIGTERM (observed: a pytest run
     # outliving its `timeout` wrapper)
     assert signal.getsignal(signal.SIGTERM) is before
-    assert not preemption.preemption_requested()
+    # ...but an un-acted-on request SURVIVES uninstall: a SIGTERM landing
+    # after the loop's last poll must stay pending for the driver's
+    # between-task check instead of being silently dropped
+    assert preemption.preemption_requested()
 
 
 def test_trainer_restores_sigterm_handler(tmp_path):
