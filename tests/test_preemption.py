@@ -45,6 +45,44 @@ def test_sigterm_sets_flag():
     assert preemption.preemption_requested()
 
 
+def test_driver_honors_pending_preemption_at_task_boundary(tmp_path):
+    """A preemption request the train loop never acted on (landed after its
+    last poll, or elastic checkpointing is off so the loop doesn't poll at
+    all) must make the DRIVER exit 143 at the next task boundary — task 1's
+    checkpoint/results are on disk, and the rerun skips it."""
+    import json
+
+    from climb_tpu.cli.train_upstream_continual_learning import (
+        main as upstream_main,
+    )
+
+    out = tmp_path / "exp"
+    argv = [
+        "--encoder_name", "vilt", "--pretrained_model_name", "scratch",
+        "--climb_data_dir", "/tmp/unused",
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--output_dir", str(out),
+        "--ordered_cl_tasks", "snli-ve,nlvr2",
+        "--cl_algorithm", "sequential_ft", "--do_train",
+        "--save_state_epochs", "0",
+    ]
+    # --save_state_epochs 0: the trainer never polls, so the pending flag
+    # reaches the driver's between-task check untouched
+    preemption.request_preemption()
+    with pytest.raises(SystemExit) as e:
+        upstream_main(argv)
+    assert e.value.code == 143
+    exp_dir = next(p for p in out.iterdir() if p.is_dir())
+    results = json.loads((exp_dir / "results.json").read_text())
+    assert [r["task_key"] for r in results] == ["snli-ve"]  # task 1 persisted
+
+    preemption.clear_preemption()
+    upstream_main(argv)  # rerun: skips task 1, completes task 2
+    results = json.loads((exp_dir / "results.json").read_text())
+    assert [r["task_key"] for r in results] == ["snli-ve", "nlvr2"]
+
+
 def test_trainer_restores_sigterm_handler(tmp_path):
     """A completed in-process train loop must leave the process SIGTERM
     handler exactly as it found it (the install is scoped via finally)."""
