@@ -12,14 +12,47 @@ def setup_logging():
     )
 
 
+def _cpu_cache_namespace() -> str:
+    """A stable fingerprint of this host's CPU microarchitecture.
+
+    XLA:CPU cache entries are ahead-of-time compiled MACHINE CODE: loading
+    an entry produced on a host with different CPU features aborts or
+    SIGILLs at run time (cpu_aot_loader logs the feature mismatch first).
+    The persistent-cache key does not capture CPU features, so CPU entries
+    must be namespaced per microarch."""
+    import hashlib
+    import platform
+
+    basis = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    basis += "|" + " ".join(sorted(line.split(":")[1].split()))
+                    break
+    except OSError:
+        basis += "|" + platform.processor()
+    return hashlib.sha256(basis.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(cache_dir: str = None):
     """Persistent XLA compilation cache: the fully-unrolled train step takes
-    ~3 min to compile; caching makes reruns and resumed experiments instant."""
+    ~3 min to compile through the TPU tunnel; caching makes reruns and
+    resumed experiments instant. CPU processes (tests, rehearsals, forced-CPU
+    subprocesses) get a per-microarch subdirectory — see
+    ``_cpu_cache_namespace`` — so a CPU AOT artifact never crosses hosts;
+    TPU programs stay in the shared root."""
     import os
 
     import jax
 
     cache_dir = cache_dir or os.path.expanduser("~/.cache/climb_tpu_xla")
+    on_cpu = (
+        os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+        and not os.environ.get("PALLAS_AXON_POOL_IPS")
+    ) or getattr(jax.config, "jax_platforms", None) == "cpu"
+    if on_cpu:
+        cache_dir = os.path.join(cache_dir, "cpu-" + _cpu_cache_namespace())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -49,3 +49,29 @@ def test_resize_dims_portrait():
     # reference; 600x800 -> width-limited to (384, 800*384/600) = (384, 512).
     w, h = compute_resized_dims(600, 800, 640, 384)
     assert (w, h) == (384, 512)
+
+
+def test_cpu_cache_namespace_applied():
+    """Forced-CPU processes must namespace the XLA compilation cache per CPU
+    microarch: XLA:CPU entries are AOT machine code, and loading one compiled
+    on a host with different CPU features SIGILLs/aborts. TPU entries stay in
+    the shared root (keyed by the TPU program, not host ISA)."""
+    import jax
+
+    from climb_tpu.cli.common import _cpu_cache_namespace, enable_compilation_cache
+
+    ns = _cpu_cache_namespace()
+    assert len(ns) == 10 and all(c in "0123456789abcdef" for c in ns)
+    assert _cpu_cache_namespace() == ns  # stable within a host
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        enable_compilation_cache("/tmp/climb_cache_ns_test")
+        # conftest forces the CPU platform via jax.config, so the namespace
+        # subdirectory must be applied.
+        assert (
+            jax.config.jax_compilation_cache_dir
+            == "/tmp/climb_cache_ns_test/cpu-" + ns
+        )
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
