@@ -156,31 +156,88 @@ def parse_log(log_path: str) -> dict:
     return tasks
 
 
-def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool,
-                  encoder: str = "vilt", tasks: str = TASKS) -> dict:
-    out_dir = os.path.join(base_out, f"{encoder}-{algorithm}"
-                           if encoder != "vilt" else algorithm)
-    os.makedirs(out_dir, exist_ok=True)
-    log_path = os.path.join(out_dir, "driver.log")
-    argv = driver_argv(algorithm, out_dir, tiny_cpu, encoder, tasks)
+def out_dir_for(algorithm: str, base_out: str, encoder: str) -> str:
+    return os.path.join(base_out, f"{encoder}-{algorithm}"
+                        if encoder != "vilt" else algorithm)
 
+
+def link_singletask_results(out_dir: str, base_out: str, encoder: str):
+    """Expose singletask_ft experiment dirs to this run's transfer eval.
+
+    The reference keeps every experiment dir under ONE ``--output_dir``, and
+    ``upstream_knowledge_transfer_eval`` resolves the matching singletask run
+    as a sibling (``evaluate_cl_algorithm.py:40-46`` →
+    ``{output_dir}/{encoder}-singletask_ft-task0_{key}``). This runner keeps
+    per-algorithm output roots (so resume state never crosses algorithms), so
+    the singletask experiment dirs are symlinked in as siblings instead."""
+    st_base = out_dir_for("singletask_ft", base_out, encoder)
+    if not os.path.isdir(st_base):
+        return
+    for d in os.listdir(st_base):
+        src = os.path.join(st_base, d)
+        dst = os.path.join(out_dir, d)
+        if (d.startswith(f"{encoder}-singletask_ft-task0_")
+                and os.path.isdir(src) and not os.path.exists(dst)):
+            os.symlink(src, dst)
+
+
+def run_driver(argv: list, log_path: str, tiny_cpu: bool, append: bool = False) -> int:
     env = dict(os.environ)
     if tiny_cpu:
         env.pop("PALLAS_AXON_POOL_IPS", None)  # no remote-TPU auto-register
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                             + " --xla_force_host_platform_device_count=8").strip()
+    with open(log_path, "a" if append else "w") as logf:
+        return subprocess.run(argv, env=env, cwd=REPO,
+                              stdout=logf, stderr=subprocess.STDOUT).returncode
+
+
+def collect_results(record: dict, out_dir: str):
+    """Attach every experiment dir's results/eval_results to the record.
+
+    singletask_ft runs contribute one single-entry results.json per task;
+    those are keyed by experiment dir so nothing clobbers."""
+    exp_dirs = sorted(d for d in os.listdir(out_dir)
+                      if os.path.isdir(os.path.join(out_dir, d))
+                      and not os.path.islink(os.path.join(out_dir, d)))
+    multi = len(exp_dirs) > 1
+    for d in exp_dirs:
+        for name in ("results.json", "eval_results.json"):
+            p = os.path.join(out_dir, d, name)
+            if os.path.exists(p):
+                with open(p) as f:
+                    key = name.replace(".json", "")
+                    if multi:
+                        record.setdefault(key, {})[d] = json.load(f)
+                    else:
+                        record[key] = json.load(f)
+
+
+def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool,
+                  encoder: str = "vilt", tasks: str = TASKS) -> dict:
+    out_dir = out_dir_for(algorithm, base_out, encoder)
+    os.makedirs(out_dir, exist_ok=True)
+    if algorithm != "singletask_ft":
+        link_singletask_results(out_dir, base_out, encoder)
+    log_path = os.path.join(out_dir, "driver.log")
 
     cache_before = cache_file_count()
     t0 = time.time()
-    with open(log_path, "w") as logf:
-        rc = subprocess.run(argv, env=env, cwd=REPO,
-                            stdout=logf, stderr=subprocess.STDOUT).returncode
+    if algorithm == "singletask_ft":
+        # the reference's singletask baseline = one independent driver run
+        # per task (validate_algorithm_args asserts exactly 1 task); these
+        # feed every other algorithm's relative-gain eval
+        rc = 0
+        for i, task in enumerate(tasks.split(",")):
+            one = driver_argv(algorithm, out_dir, tiny_cpu, encoder, task)
+            rc = rc or run_driver(one, log_path, tiny_cpu, append=i > 0)
+    else:
+        argv = driver_argv(algorithm, out_dir, tiny_cpu, encoder, tasks)
+        rc = run_driver(argv, log_path, tiny_cpu)
     wall = time.time() - t0
     cache_after = cache_file_count()
 
-    exp_dirs = [d for d in os.listdir(out_dir)
-                if os.path.isdir(os.path.join(out_dir, d))]
     record = {
         "algorithm": algorithm,
         "encoder": encoder,
@@ -189,14 +246,67 @@ def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool,
         "wall_clock_s": round(wall, 1),
         "compile_cache_files_added": cache_after - cache_before,
         "tasks": parse_log(log_path),
-        "log": os.path.relpath(log_path, REPO),
+        "log": log_path,
     }
-    for d in exp_dirs:
-        for name in ("results.json", "eval_results.json"):
-            p = os.path.join(out_dir, d, name)
-            if os.path.exists(p):
-                with open(p) as f:
-                    record[name.replace(".json", "")] = json.load(f)
+    collect_results(record, out_dir)
+    return record
+
+
+def refresh_transfer(record: dict, base_out: str) -> dict:
+    """Recompute ONLY the upstream-knowledge-transfer section of an
+    already-recorded run against singletask_ft baselines that landed later.
+
+    Cheap and correct: the transfer eval is pure results.json math in the
+    reference too (``evaluate_cl_algorithm.py:32-72`` loads JSON files, no
+    model eval) — the forgetting matrix from the original hardware run is
+    preserved. Use ``--refresh-eval`` instead to re-run the full driver eval
+    phase on the device."""
+    import types
+
+    sys.path.insert(0, REPO)
+    from climb_tpu.evaluation.cl_eval import upstream_knowledge_transfer_eval
+
+    algorithm, encoder = record["algorithm"], record.get("encoder", "vilt")
+    out_dir = out_dir_for(algorithm, base_out, encoder)
+    link_singletask_results(out_dir, base_out, encoder)
+    ns = types.SimpleNamespace(
+        output_dir=out_dir, encoder_name=encoder,
+        ordered_cl_tasks=record.get("task_order", TASKS).split(","))
+    for d in sorted(os.listdir(out_dir)):
+        results_file = os.path.join(out_dir, d, "results.json")
+        eval_file = os.path.join(out_dir, d, "eval_results.json")
+        if (os.path.islink(os.path.join(out_dir, d))
+                or not os.path.exists(results_file)
+                or not os.path.exists(eval_file)):
+            continue
+        transfer = upstream_knowledge_transfer_eval(ns, results_file)
+        with open(eval_file) as f:
+            ev = json.load(f)
+        ev["upstream_knowledge_transfer"] = transfer
+        with open(eval_file, "w") as f:
+            json.dump(ev, f)
+    record["transfer_refreshed"] = True
+    collect_results(record, out_dir)
+    return record
+
+
+def refresh_eval(record: dict, base_out: str, tiny_cpu: bool) -> dict:
+    """Re-run ONLY the eval phase of an already-recorded run (training skips
+    via its checkpoints) so the transfer eval can pick up singletask_ft
+    baselines that landed after the original run; training telemetry in the
+    record is preserved."""
+    algorithm, encoder = record["algorithm"], record.get("encoder", "vilt")
+    out_dir = out_dir_for(algorithm, base_out, encoder)
+    link_singletask_results(out_dir, base_out, encoder)
+    log_path = os.path.join(out_dir, "driver.eval_refresh.log")
+    argv = driver_argv(algorithm, out_dir, tiny_cpu, encoder,
+                       record.get("task_order", TASKS))
+    t0 = time.time()
+    rc = run_driver(argv, log_path, tiny_cpu)
+    record["eval_refresh"] = {"returncode": rc,
+                              "wall_clock_s": round(time.time() - t0, 1)}
+    if rc == 0:
+        collect_results(record, out_dir)
     return record
 
 
@@ -212,7 +322,20 @@ def main():
                          "picked up by the TPU run's resume logic)")
     ap.add_argument("--tiny-cpu", action="store_true",
                     help="rehearse the identical flow on the CPU mesh (~5 min)")
-    ap.add_argument("--algorithms", default="sequential_ft,experience_replay")
+    ap.add_argument("--algorithms", default="sequential_ft,experience_replay",
+                    help="comma list; 'singletask_ft' runs one driver "
+                         "invocation per task (the reference baseline the "
+                         "transfer eval compares against)")
+    ap.add_argument("--refresh-eval", default="",
+                    help="comma list of already-recorded algorithms whose "
+                         "eval phase should re-run (training skips via "
+                         "checkpoints) — e.g. after singletask_ft baselines "
+                         "land, so relative_gain becomes non-null")
+    ap.add_argument("--refresh-transfer", default="",
+                    help="comma list of already-recorded algorithms whose "
+                         "TRANSFER eval (pure results.json math; no model "
+                         "eval) should recompute against singletask_ft "
+                         "baselines; the recorded forgetting matrix is kept")
     ap.add_argument("--encoder", default="vilt", choices=["vilt", "viltbert"],
                     help="encoder family (viltbert = frozen-BERT text side)")
     ap.add_argument("--tasks", default=TASKS,
@@ -259,20 +382,43 @@ def main():
                 r for r in prior.get("runs", [])
                 if (r.get("encoder", "vilt"), r["algorithm"]) not in rerun
             ]
-    for algorithm in flags.algorithms.split(","):
+    for algorithm in [a for a in flags.algorithms.split(",") if a]:
         print(f"=== {flags.encoder}-{algorithm} ===", flush=True)
         rec = run_algorithm(algorithm, flags.base_out, flags.tiny_cpu,
                             flags.encoder, flags.tasks)
         results["runs"].append(rec)
-        ok = rec["returncode"] == 0 and "eval_results" in rec
+        ok = rec["returncode"] == 0 and ("eval_results" in rec
+                                         or algorithm == "singletask_ft")
         print(f"    rc={rec['returncode']} wall={rec['wall_clock_s']}s "
               f"cache+={rec['compile_cache_files_added']} "
               f"eval={'ok' if ok else 'MISSING'}", flush=True)
         with open(flags.out, "w") as f:
             json.dump(results, f, indent=1)
+    for mode, algos in (("eval", flags.refresh_eval),
+                        ("transfer", flags.refresh_transfer)):
+        for algorithm in [a for a in algos.split(",") if a]:
+            match = [r for r in results["runs"]
+                     if (r.get("encoder", "vilt"), r["algorithm"])
+                     == (flags.encoder, algorithm)]
+            if not match:
+                print(f"refresh-{mode}: no recorded run for "
+                      f"{flags.encoder}-{algorithm}", file=sys.stderr)
+                continue
+            print(f"=== refresh-{mode} {flags.encoder}-{algorithm} ===",
+                  flush=True)
+            if mode == "eval":
+                rec = refresh_eval(match[0], flags.base_out, flags.tiny_cpu)
+                print(f"    rc={rec['eval_refresh']['returncode']} "
+                      f"wall={rec['eval_refresh']['wall_clock_s']}s",
+                      flush=True)
+            else:
+                refresh_transfer(match[0], flags.base_out)
+            with open(flags.out, "w") as f:
+                json.dump(results, f, indent=1)
     print(f"wrote {flags.out}")
     bad = [r["algorithm"] for r in results["runs"]
-           if r["returncode"] != 0 or "eval_results" not in r]
+           if r["returncode"] != 0
+           or ("eval_results" not in r and r["algorithm"] != "singletask_ft")]
     if bad:
         print(f"FAILED: {bad}", file=sys.stderr)
         sys.exit(1)
