@@ -234,7 +234,10 @@ def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool,
             rc = rc or run_driver(one, log_path, tiny_cpu, append=i > 0)
     else:
         argv = driver_argv(algorithm, out_dir, tiny_cpu, encoder, tasks)
-        rc = run_driver(argv, log_path, tiny_cpu)
+        # append when a prior (e.g. preempted) invocation's log exists, so a
+        # resumed run keeps the original training telemetry parseable
+        rc = run_driver(argv, log_path, tiny_cpu,
+                        append=os.path.exists(log_path))
     wall = time.time() - t0
     cache_after = cache_file_count()
 
