@@ -13,13 +13,19 @@ def setup_logging():
 
 
 def _cpu_cache_namespace() -> str:
-    """A stable fingerprint of this host's CPU microarchitecture.
+    """A fingerprint of this host's CPU, scoped to the current boot.
 
     XLA:CPU cache entries are ahead-of-time compiled MACHINE CODE: loading
-    an entry produced on a host with different CPU features aborts or
-    SIGILLs at run time (cpu_aot_loader logs the feature mismatch first).
+    an entry produced on a different host can abort or SIGILL at run time.
     The persistent-cache key does not capture CPU features, so CPU entries
-    must be namespaced per microarch."""
+    must be namespaced. Hashing /proc/cpuinfo flags alone proved
+    INSUFFICIENT: two cloud VMs of the same instance type report identical
+    flags yet one's cached executables SIGABRT on the other (observed across
+    dev-VM reassignments — same 10-char flags hash, entries from the
+    previous VM abort inside pxla __call__ with no diagnostic). The boot id
+    is therefore part of the namespace: a CPU AOT artifact never outlives
+    the boot that produced it. CPU compiles are cheap (tiny test models);
+    the expensive TPU programs stay in the shared, portable root."""
     import hashlib
     import platform
 
@@ -32,6 +38,11 @@ def _cpu_cache_namespace() -> str:
                     break
     except OSError:
         basis += "|" + platform.processor()
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            basis += "|" + f.read().strip()
+    except OSError:
+        basis += "|" + platform.node()
     return hashlib.sha256(basis.encode()).hexdigest()[:10]
 
 
@@ -47,10 +58,15 @@ def enable_compilation_cache(cache_dir: str = None):
     import jax
 
     cache_dir = cache_dir or os.path.expanduser("~/.cache/climb_tpu_xla")
+    env_plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
     on_cpu = (
-        os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
-        and not os.environ.get("PALLAS_AXON_POOL_IPS")
-    ) or getattr(jax.config, "jax_platforms", None) == "cpu"
+        env_plat == "cpu"
+        or getattr(jax.config, "jax_platforms", None) == "cpu"
+        # no platform forced AND no axon TPU tunnel registered: jax
+        # auto-resolves to the CPU backend, so this process's AOT artifacts
+        # are CPU machine code and must be namespaced too
+        or (not env_plat and not os.environ.get("PALLAS_AXON_POOL_IPS"))
+    )
     if on_cpu:
         cache_dir = os.path.join(cache_dir, "cpu-" + _cpu_cache_namespace())
     try:
@@ -236,6 +252,13 @@ def add_tpu_args(parser: argparse.ArgumentParser):
     parser.add_argument("--synthetic", action="store_true",
                         help="Use synthetic in-memory datasets (no real data needed).")
     parser.add_argument("--synthetic_train_size", type=int, default=64)
+    parser.add_argument("--synthetic_vqa_labels", type=int, default=0,
+                        help="With --synthetic, shrink the VQA label space to "
+                             "this many answers (0 = keep the real 3,129). "
+                             "512 synthetic examples cannot move a 3,129-way "
+                             "head off 0.0, so smoke runs use a learnable "
+                             "size to exercise the soft-score metric "
+                             "end-to-end.")
     parser.add_argument("--tiny", action="store_true",
                         help="Tiny model config (fast CI / smoke runs).")
     parser.add_argument("--profile_dir", type=str, default=None,

@@ -111,6 +111,15 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _dump_json_atomic(obj, path: str):
+    """tmp + os.replace so a signal mid-write can never leave a truncated
+    results/eval_results JSON behind (the rerun's resume logic parses it)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 def experiment_name_for(args) -> str:
     name = f"{args.encoder_name}-{args.cl_algorithm}"
     if args.cl_algorithm == "adapter":
@@ -144,11 +153,21 @@ def validate_algorithm_args(args):
 
 
 def main(argv=None):
+    # local shadow so a synthetic-only override can never leak across
+    # in-process invocations (tests call main() repeatedly)
+    task_configs = globals()["task_configs"]
     setup_logging()
     args = build_parser().parse_args(argv)
     args.ordered_cl_tasks = args.ordered_cl_tasks.split(",")
     if args.tiny:  # tiny model config implies the tiny image canvas
         args.image_height, args.image_width = 64, 96
+    if getattr(args, "synthetic", False) and args.synthetic_vqa_labels:
+        # learnable smoke configuration: a small answer space the synthetic
+        # set can actually fit (head shape changes, so this is synthetic-only)
+        task_configs = {
+            k: dict(v, num_labels=args.synthetic_vqa_labels) if k == "vqa" else v
+            for k, v in task_configs.items()
+        }
 
     experiment_name = experiment_name_for(args)
     output_dir = os.path.join(args.output_dir, experiment_name)
@@ -161,13 +180,6 @@ def main(argv=None):
     # deferred heavy imports (jax) until after arg validation
     import jax
 
-    from climb_tpu.ckpt import (
-        load_task_checkpoint,
-        partial_load,
-        save_task_checkpoint,
-        task_checkpoint_exists,
-        task_dir,
-    )
     from climb_tpu.cl import (
         EWC,
         AdapterHandler,
@@ -176,12 +188,8 @@ def main(argv=None):
         freeze_bottom_k_layers_mask,
         freeze_encoder_mask,
     )
-    from climb_tpu.evaluation import (
-        catastrophic_forgetting_eval,
-        upstream_knowledge_transfer_eval,
-    )
     from climb_tpu.parallel.mesh import make_mesh
-    from climb_tpu.train import create_cl_model, get_task_trainer_class
+    from climb_tpu.train import create_cl_model
 
     model_config = model_configs[args.encoder_name]
     if args.visual_input_type is None:
@@ -221,6 +229,50 @@ def main(argv=None):
     logger.info("Continual learner: %s | %d task heads (%s) | %.2fM params | algorithm=%s",
                 args.encoder_name, len(args.ordered_cl_tasks),
                 ",".join(args.ordered_cl_tasks), n_params / 1e6, args.cl_algorithm)
+
+    # Driver-scope preemption protection: the trainer installs its own nested
+    # handler around each train loop, but the between-task wrap-up (checkpoint
+    # save, results.json write, replay-buffer build, Fisher estimation) and
+    # the final eval phase must not die mid-write on SIGTERM either — the
+    # handler stays installed for the whole multi-task run and the task
+    # boundary polls the flag.
+    from climb_tpu.utils.preemption import (
+        clear_preemption,
+        install_preemption_handler,
+        preemption_requested,
+        uninstall_preemption_handler,
+    )
+
+    driver_preempt = (
+        not getattr(args, "no_sigterm_checkpoint", False)
+        and install_preemption_handler()
+    )
+    try:
+        _run(args, task_configs, model_config, experiment_name, output_dir,
+             results_file, mesh, model, replay_memory, ewc, adapter_handler,
+             distill, preemption_requested, clear_preemption)
+    finally:
+        if driver_preempt:
+            uninstall_preemption_handler()
+
+
+def _run(args, task_configs, model_config, experiment_name, output_dir,
+         results_file, mesh, model, replay_memory, ewc, adapter_handler,
+         distill, preemption_requested, clear_preemption):
+    import jax
+
+    from climb_tpu.ckpt import (
+        load_task_checkpoint,
+        partial_load,
+        save_task_checkpoint,
+        task_checkpoint_exists,
+        task_dir,
+    )
+    from climb_tpu.evaluation import (
+        catastrophic_forgetting_eval,
+        upstream_knowledge_transfer_eval,
+    )
+    from climb_tpu.train import get_task_trainer_class
 
     task_trainers = {}
     if args.do_train:
@@ -285,8 +337,7 @@ def main(argv=None):
                     "best_score": best_eval_score,
                     "best_epoch": task_trainer.best_epoch,
                 })
-                with open(results_file, "w") as f:
-                    json.dump(results, f)
+                _dump_json_atomic(results, results_file)
 
             task_trainers[task_key] = task_trainer
             if args.cl_algorithm == "experience_replay":
@@ -307,18 +358,20 @@ def main(argv=None):
                 distill.save_teacher(task_key, model.params)
 
             # a SIGTERM that landed after the train loop's last poll (e.g.
-            # during end-of-task eval or checkpointing) survives the scoped
-            # handler; honor it here — the task boundary is the ideal resume
-            # point (completed tasks are skipped, algorithm state above is
-            # rebuilt on rerun)
-            from climb_tpu.utils.preemption import preemption_requested
-
+            # during end-of-task eval or checkpointing) is still pending on
+            # the driver-scope handler; honor it here — the task boundary is
+            # the ideal resume point (completed tasks are skipped, algorithm
+            # state above is rebuilt on rerun)
             if preemption_requested():
                 logger.warning(
                     "Preemption requested during task %s wrap-up; exiting 143 "
                     "at the task boundary (rerun skips completed tasks)",
                     task_name,
                 )
+                # acted-on exit clears the flag (same convention as the
+                # trainer's in-loop exit) so a later in-process invocation
+                # never phantom-preempts
+                clear_preemption()
                 raise SystemExit(143)
 
     if args.do_eval:
@@ -338,11 +391,10 @@ def main(argv=None):
             args, results_file, model, task_trainers, adapter_handler
         )
         eval_results_file = os.path.join(output_dir, "eval_results.json")
-        with open(eval_results_file, "w") as f:
-            json.dump({
-                "upstream_knowledge_transfer": upstream_dict,
-                "forgetting": forgetting_dict,
-            }, f)
+        _dump_json_atomic({
+            "upstream_knowledge_transfer": upstream_dict,
+            "forgetting": forgetting_dict,
+        }, eval_results_file)
         logger.info("Wrote %s", eval_results_file)
 
 

@@ -52,6 +52,12 @@ class SyntheticVLDataset:
         rng = np.random.RandomState(seed)
         n_classes = num_choices if model_type == "multi-choice" else num_labels
         self.labels = rng.randint(0, max(n_classes, 1), size=(size,))
+        # Generation is deterministic per index, so items are memoized after
+        # first materialization: on the 1-core dev/smoke VM the ~40ms/example
+        # canvas synthesis dominates multi-epoch driver runs otherwise
+        # (CLAUDE.md host-bandwidth note). Consumers never mutate item arrays
+        # (stack_collate copies into preallocated batches).
+        self._cache = {}
 
     def __len__(self):
         return self.size
@@ -101,16 +107,25 @@ class SyntheticVLDataset:
         return img, patch_hw
 
     def __getitem__(self, i: int) -> dict:
+        hit = self._cache.get(i)
+        if hit is not None:
+            return dict(hit)
         rng = np.random.RandomState(self.seed * 100003 + i)
         label = int(self.labels[i])
         L = self.text_len
         text_lens = iter(self._text_lens(i))
 
-        def text():
+        def text(marker=None):
             n = int(next(text_lens))
             ids = np.zeros((L,), np.int32)
             ids[0] = 101
             ids[1:n] = rng.randint(1000, 2000, size=(n - 1,))
+            if marker is not None:
+                # learnable signal: a label-dependent token outside the random
+                # content range [1000,2000), so a model can fit the data via a
+                # single embedding lookup (integration tests + hardware smoke
+                # runs assert scores clear the random baseline)
+                ids[1] = marker
             ids[n - 1] = 102
             mask = np.zeros((L,), np.float32)
             mask[:n] = 1.0
@@ -119,12 +134,18 @@ class SyntheticVLDataset:
         ex = {}
         if self.model_type == "multi-choice":
             nc = self.num_choices
-            ids, masks = zip(*[text() for _ in range(nc)])
+            # the correct choice carries marker 2999, the rest 2998 — the
+            # multi-choice analog of the label token (choice index itself is
+            # not recoverable from a per-choice forward)
+            markers = [2999 if c == label else 2998 for c in range(nc)] \
+                if self.learnable else [None] * nc
+            ids, masks = zip(*[text(m) for m in markers])
             ex["input_ids"] = np.stack(ids)
             ex["text_mask"] = np.stack(masks)
             ex["token_type_ids"] = np.zeros((nc, L), np.int32)
         else:
-            ids, mask = text()
+            marker = 2000 + (label % 900) if self.learnable else None
+            ids, mask = text(marker)
             ex["input_ids"] = ids
             ex["text_mask"] = mask
             ex["token_type_ids"] = np.zeros((L,), np.int32)
@@ -147,7 +168,8 @@ class SyntheticVLDataset:
             ex["target_scores"] = scores
         else:
             ex["labels"] = np.int32(label)
-        return ex
+        self._cache[i] = ex
+        return dict(ex)
 
     # -- low-shot transforms (parity: convert_to_low_shot in each reference
     #    dataset, e.g. vqa_dataset.py:173-187, nlvr2_dataset.py:118-134) -----

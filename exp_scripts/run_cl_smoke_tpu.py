@@ -16,14 +16,20 @@ size; host-side example generation on this 1-core VM is the known bottleneck
 (CLAUDE.md), so the per-task ex/s recorded here is a HOST-bound number — the
 device-step throughput headline lives in bench.py / BENCH_r03.json.
 
-Writes CL_RUN_r03.json at the repo root:
+Writes CL_RUN_r04.json at the repo root:
   per-algorithm: wall-clock, per-task best scores/epochs + train wall-clock +
   epoch ex/s samples, eval_results (forgetting matrix), compile-cache
   population delta (files added to the persistent XLA cache).
 
-Usage (on the real TPU; ~1-1.5h per algorithm, mostly tunnel compiles on the
-cold cache):
-  python exp_scripts/run_cl_smoke_tpu.py [--out CL_RUN_r03.json] [--tiny-cpu]
+Synthetic data is LEARNABLE (label-dependent token + image stamp) and the VQA
+label space shrinks to 32 answers (--synthetic_vqa_labels): 512 synthetic
+examples cannot move a 3,129-way head off 0.0, and per-task scores must clear
+the random baselines for the forgetting/transfer numbers to be
+non-degenerate (round-3 verdict items 1-2, 4).
+
+Usage (on the real TPU; ~1-1.5h per algorithm on a cold compile cache,
+~20-40 min warm):
+  python exp_scripts/run_cl_smoke_tpu.py [--out CL_RUN_r04.json] [--tiny-cpu]
       [--algorithms sequential_ft,experience_replay,adapter,ewc]
       [--encoder vilt|viltbert] [--tasks vqa,nlvr2,...]
 
@@ -84,6 +90,8 @@ def driver_argv(algorithm: str, out_dir: str, tiny_cpu: bool,
         "--save_state_epochs", "1",
         "--async_checkpoint",
         "--synthetic_train_size", "512",
+        # learnable VQA smoke config: 512 examples over 32 answers (16/label)
+        "--synthetic_vqa_labels", "32",
     ]
     if algorithm == "experience_replay":
         # reference settings (exp_scripts/.../vilt-experience_replay.sh):
@@ -346,11 +354,14 @@ def main():
                          "the compile ladder small for the slower encoder)")
     flags = ap.parse_args()
     if flags.base_out is None:
-        flags.base_out = ("/tmp/climb_cl_smoke_cpu" if flags.tiny_cpu
-                          else "/tmp/climb_cl_smoke_tpu")
+        # r04 root: the learnable-data + 32-label-VQA config is not
+        # checkpoint-compatible with the r03 runs, so resume state must not
+        # cross rounds
+        flags.base_out = ("/tmp/climb_cl_smoke_cpu_r04" if flags.tiny_cpu
+                          else "/tmp/climb_cl_smoke_tpu_r04")
     if flags.out is None:
-        flags.out = ("/tmp/climb_cl_smoke_cpu/CL_RUN_rehearsal.json"
-                     if flags.tiny_cpu else os.path.join(REPO, "CL_RUN_r03.json"))
+        flags.out = ("/tmp/climb_cl_smoke_cpu_r04/CL_RUN_rehearsal.json"
+                     if flags.tiny_cpu else os.path.join(REPO, "CL_RUN_r04.json"))
         os.makedirs(os.path.dirname(flags.out), exist_ok=True)
 
     import platform
@@ -367,6 +378,7 @@ def main():
         "config": {
             "batch_size": 64,
             "synthetic_train_size": 128 if flags.tiny_cpu else 512,
+            "synthetic_vqa_labels": 32, "learnable_synthetic": True,
             "compute_dtype": "bfloat16", "remat": "selective",
             "scan_unroll": 12, "grad_accum_steps": "auto",
             "aspect_buckets": "384,640", "text_buckets": "24,40",

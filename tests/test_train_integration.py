@@ -105,6 +105,27 @@ def test_vqa_soft_target_step():
     assert 0.0 <= score <= 100.0
 
 
+def test_vqa_soft_score_learns():
+    """The VQA soft score must demonstrably MOVE above chance when the data
+    is learnable — a silent metric-indexing regression in the
+    argmax->soft-score path (train_step.py) would otherwise be invisible
+    (every prior artifact recorded 0.0; reference metric
+    src/train/visionlanguage_tasks/train_vqa.py:99-113)."""
+    args = make_args(ordered_cl_tasks=["vqa"], synthetic_train_size=96)
+    tc = {k: dict(v) for k, v in task_configs.items()}
+    tc["vqa"]["num_labels"] = 8  # a space 96 examples can actually cover
+    model = create_cl_model(args, tc)
+    trainer_cls = get_task_trainer_class(tc["vqa"]["trainer"])
+    trainer = trainer_cls(args, tc, model_config={"encoder_dim": 64})
+    trainer.num_epochs = 16
+    trainer.lr = 5e-4
+    trainer.max_steps = len(trainer.train_dataloader) * trainer.num_epochs
+    score, model = trainer.train(model)
+    # random argmax over 8 labels scores ~16 (E[target at random index]);
+    # the stamped label token should push far past it
+    assert score > 45.0, f"synthetic VQA soft score only reached {score}"
+
+
 def test_padded_rows_do_not_contribute_to_loss():
     """The zero-padded tail of a final partial batch (pad_batch) must be
     invisible to training: masked loss == loss of the unpadded batch, and
