@@ -141,6 +141,9 @@ class HeadSpec:
     num_labels: int
     num_images: int = 1
     num_choices: Optional[int] = None
+    # multi-choice head dropout (reference vilt.py:199-202 hardcodes 0.1);
+    # parity tests set 0.0 so cross-framework trajectories are well-defined
+    dropout_rate: float = 0.1
 
 
 def head_specs_from_task_configs(task_keys, task_configs) -> Tuple[HeadSpec, ...]:

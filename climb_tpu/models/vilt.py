@@ -30,7 +30,8 @@ from climb_tpu.models.vilt_core import ViltCore
 
 def _head_for(spec: HeadSpec, encoder_dim: int, dtype) -> nn.Module:
     if spec.model_type == "multi-choice":
-        return MultiChoiceHead(dtype=dtype, name=f"head_{_safe(spec.task_key)}")
+        return MultiChoiceHead(dropout_rate=spec.dropout_rate, dtype=dtype,
+                               name=f"head_{_safe(spec.task_key)}")
     return ClassificationHead(
         spec.num_labels, encoder_dim, dtype=dtype, name=f"head_{_safe(spec.task_key)}"
     )

@@ -157,11 +157,12 @@ def test_loss_trajectory_matches_reference():
 
 # ---------------------------------------------------------------------------
 # The same pinning for the other upstream loss/forward compositions:
-# VQA's soft-target BCE (train_vqa.py:95,157) and NLVR2's two-pass
-# image-pair forward (vilt.py:263-307) + CE. (VCR's mc_ce shares the CE
-# codepath and its fold==sequential equivalence is pinned separately in
-# test_multipass_equivalence.py; its head's Dropout(0.1) makes a cross-
-# framework trajectory comparison ill-defined.)
+# VQA's soft-target BCE (train_vqa.py:95,157), NLVR2's two-pass image-pair
+# forward (vilt.py:263-307) + CE, VCR's per-choice forward + mc_ce
+# (vilt.py:309-350, with head dropout 0 on both sides — a cross-framework
+# trajectory with live Dropout(0.1) is ill-defined; the fold==sequential
+# equivalence is pinned separately in test_multipass_equivalence.py), and an
+# EWC-penalized step (ewc.py:75-87).
 # ---------------------------------------------------------------------------
 
 
@@ -204,12 +205,18 @@ def _torch_optimizer(full):
     return opt, sched
 
 
-def _my_trajectory(cfg, spec, loss_type, vilt_params, head_params, batch):
+def _my_trajectory(cfg, spec, loss_type, vilt_params, head_params, batch,
+                   ewc_ref=None):
+    """Loss trajectory of the production jitted step. With ewc_ref, also
+    returns the post-update ewc_loss trajectory."""
     module = ViltContinualLearner(cfg=cfg, head_specs=(spec,))
     init_batch = dict(batch)
     if init_batch["pixel_values"].ndim == 5:  # init_all wants a single image
         init_batch["pixel_values"] = init_batch["pixel_values"][:, 0]
         init_batch["patch_hw"] = init_batch["patch_hw"][:, 0]
+    if init_batch["input_ids"].ndim == 3:  # init_all wants unfolded text
+        init_batch["input_ids"] = init_batch["input_ids"][:, 0]
+        init_batch["text_mask"] = init_batch["text_mask"][:, 0]
     params = dict(module.init(jax.random.PRNGKey(0), init_batch,
                               method=ViltContinualLearner.init_all)["params"])
     params["vilt"] = vilt_params
@@ -220,11 +227,15 @@ def _my_trajectory(cfg, spec, loss_type, vilt_params, head_params, batch):
     state = TrainState.create(apply_fn=module.apply, params=params, tx=tx)
     step = make_train_step(module, spec.task_key, loss_type, jnp.float32)
     key = jax.random.PRNGKey(0)
-    losses = []
+    losses, ewc_losses = [], []
     for _ in range(STEPS):
         key, sub = jax.random.split(key)
-        state, metrics = step(state, batch, sub)
+        state, metrics = step(state, batch, sub, ewc_ref)
         losses.append(float(metrics["loss"]))
+        if ewc_ref is not None:
+            ewc_losses.append(float(metrics["ewc_loss"]))
+    if ewc_ref is not None:
+        return losses, ewc_losses
     return losses
 
 
@@ -347,3 +358,161 @@ def test_nlvr2_pair_trajectory_matches_reference():
     my_losses = _my_trajectory(cfg, spec, "ce", vilt_params, head_params, batch)
     np.testing.assert_allclose(my_losses, ref_losses, rtol=1e-5, atol=1e-6)
     assert abs(my_losses[-1] - my_losses[0]) > 1e-5
+
+
+def test_vcr_mc_trajectory_matches_reference():
+    """VCR: one encoder pass per choice sharing pixel_values, stacked choice
+    scores -> squeeze -> CE over 4 logits (reference vilt.py:309-350,
+    train_vcr.py), trained with the shared optimizer step. Head dropout is 0
+    on both sides (HeadSpec.dropout_rate) — with live Dropout the two
+    frameworks would draw different masks and the comparison is ill-defined;
+    everything else (per-choice fold forward, mc_ce loss, optimizer math,
+    schedule) is pinned."""
+    NC = 4
+    vilt = _tiny_hf_vilt()
+    torch.manual_seed(3)
+    head = torch.nn.Sequential(torch.nn.Dropout(0.0), torch.nn.Linear(HIDDEN, 1))
+
+    rng = np.random.RandomState(3)
+    ids = rng.randint(1, VOCAB, size=(B, NC, TEXT)).astype(np.int32)
+    mask = np.ones((B, NC, TEXT), np.float32)
+    pixels = rng.rand(B, H, W, 3).astype(np.float32)
+    labels = rng.randint(0, NC, size=(B,)).astype(np.int32)
+
+    cfg = ViltConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, num_layers=LAYERS,
+        num_heads=HEADS, intermediate_size=HIDDEN * 2,
+        image_height=H, image_width=W, patch_size=32, pretrain_image_size=64,
+    )
+    vilt_params = jax.tree_util.tree_map(np.array, import_hf_vilt(vilt.state_dict(), cfg))
+    head_params = {"fc": {"kernel": np.array(head[1].weight.detach().numpy()).T,
+                          "bias": np.array(head[1].bias.detach().numpy())}}
+
+    full = torch.nn.ModuleDict({"vilt_encoder": vilt, "task_layer": head})
+    full.train()
+    opt, sched = _torch_optimizer(full)
+    t_ids = torch.tensor(ids, dtype=torch.long)
+    t_mask = torch.tensor(mask)
+    t_px = torch.tensor(pixels).permute(0, 3, 1, 2)
+    t_pm = torch.ones(B, H, W, dtype=torch.long)
+    t_y = torch.tensor(labels, dtype=torch.long)
+    ref_losses = []
+    for _ in range(STEPS):
+        scores = [
+            head(vilt(input_ids=t_ids[:, c], attention_mask=t_mask[:, c],
+                      pixel_values=t_px, pixel_mask=t_pm).pooler_output)
+            for c in range(NC)
+        ]
+        logits = torch.stack(scores, dim=1).squeeze(-1)  # (B, NC)
+        loss = torch.nn.functional.cross_entropy(logits, t_y)
+        loss.backward()
+        opt.step()
+        sched.step()
+        opt.zero_grad()
+        ref_losses.append(float(loss.detach()))
+
+    spec = HeadSpec(task_key="vcr", model_type="multi-choice", num_labels=NC,
+                    num_images=1, num_choices=NC, dropout_rate=0.0)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "text_mask": jnp.asarray(mask),
+        "pixel_values": jnp.asarray(pixels),
+        "patch_hw": jnp.asarray([[H // 32, W // 32]] * B, jnp.int32),
+        "labels": jnp.asarray(labels),
+    }
+    my_losses = _my_trajectory(cfg, spec, "mc_ce", vilt_params, head_params, batch)
+    np.testing.assert_allclose(my_losses, ref_losses, rtol=1e-5, atol=1e-6)
+    assert abs(my_losses[-1] - my_losses[0]) > 1e-5
+
+
+def test_ewc_penalized_trajectory_matches_reference():
+    """EWC-penalized step: loss += weight * sum_i F_i (theta_i - theta*_i)^2
+    over the ENCODER params only (reference ewc.py:75-87), with the anchor =
+    the initial encoder snapshot and a synthetic elementwise Fisher
+    F = theta*^2 + 0.05 (any elementwise function of the anchor is layout-
+    invariant, so the torch and flax trees see identical values). Pins the
+    penalty's gradient effect + the separately-logged post-update ewc_loss."""
+    from climb_tpu.train.train_step import EwcRef
+
+    W_EWC = 100.0
+    vilt = _tiny_hf_vilt()
+    torch.manual_seed(4)
+    head = _torch_head(HIDDEN, NUM_LABELS)
+
+    rng = np.random.RandomState(4)
+    ids = rng.randint(1, VOCAB, size=(B, TEXT)).astype(np.int32)
+    mask = np.ones((B, TEXT), np.float32)
+    pixels = rng.rand(B, H, W, 3).astype(np.float32)
+    labels = rng.randint(0, NUM_LABELS, size=(B,)).astype(np.int32)
+
+    cfg = ViltConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, num_layers=LAYERS,
+        num_heads=HEADS, intermediate_size=HIDDEN * 2,
+        image_height=H, image_width=W, patch_size=32, pretrain_image_size=64,
+    )
+    vilt_params = jax.tree_util.tree_map(np.array, import_hf_vilt(vilt.state_dict(), cfg))
+    head_params = _head_to_flax(head)
+
+    # anchor/Fisher on the torch side: initial encoder params
+    t_anchor = {n: p.detach().clone() for n, p in vilt.named_parameters()}
+    t_fisher = {n: a**2 + 0.05 for n, a in t_anchor.items()}
+
+    full = torch.nn.ModuleDict({"vilt_encoder": vilt, "task_layer": head})
+    full.train()
+    opt, sched = _torch_optimizer(full)
+    t_ids = torch.tensor(ids, dtype=torch.long)
+    t_mask = torch.tensor(mask)
+    t_px = torch.tensor(pixels).permute(0, 3, 1, 2)
+    t_pm = torch.ones(B, H, W, dtype=torch.long)
+    t_y = torch.tensor(labels, dtype=torch.long)
+
+    def torch_penalty():
+        return W_EWC * sum(
+            (t_fisher[n] * (p - t_anchor[n]) ** 2).sum()
+            for n, p in vilt.named_parameters()
+        )
+
+    ref_losses, ref_ewc = [], []
+    for _ in range(STEPS):
+        out = vilt(input_ids=t_ids, attention_mask=t_mask,
+                   pixel_values=t_px, pixel_mask=t_pm)
+        logits = head(out.pooler_output)
+        task_loss = torch.nn.functional.cross_entropy(logits, t_y)
+        loss = task_loss + torch_penalty()
+        loss.backward()
+        opt.step()
+        sched.step()
+        opt.zero_grad()
+        ref_losses.append(float(task_loss.detach()))
+        with torch.no_grad():
+            ref_ewc.append(float(torch_penalty()))
+
+    spec = HeadSpec(task_key="snli-ve", model_type="classification",
+                    num_labels=NUM_LABELS, num_images=1, num_choices=None)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "text_mask": jnp.asarray(mask),
+        "pixel_values": jnp.asarray(pixels),
+        "patch_hw": jnp.asarray([[H // 32, W // 32]] * B, jnp.int32),
+        "labels": jnp.asarray(labels),
+    }
+    anchor = jax.tree_util.tree_map(np.array, vilt_params)
+    ewc_ref = EwcRef(
+        fisher=jax.tree_util.tree_map(lambda a: jnp.asarray(a**2 + 0.05), anchor),
+        anchor=jax.tree_util.tree_map(jnp.asarray, anchor),
+        weight=jnp.asarray(W_EWC, jnp.float32),
+    )
+    my_losses, my_ewc = _my_trajectory(
+        cfg, spec, "ce", vilt_params, head_params, batch, ewc_ref=ewc_ref
+    )
+    np.testing.assert_allclose(my_losses, ref_losses, rtol=1e-5, atol=1e-6)
+    # post-update penalty: a sum of ~100k tiny squares, so f32 summation
+    # order costs ~1e-4 relative (measured 1.25e-4); steps 1-2 are warmup
+    # (lr=0) where the penalty is exactly 0, hence the absolute floor
+    np.testing.assert_allclose(my_ewc, ref_ewc, rtol=5e-4, atol=1e-8)
+    assert my_ewc[-1] > 0.0  # params moved off the anchor -> penalty engaged
+
+    # the penalty must CHANGE the trajectory (gradient effect, not just
+    # logging): rerun without ewc_ref and require divergence by the last step
+    plain = _my_trajectory(cfg, spec, "ce", vilt_params, head_params, batch)
+    assert abs(plain[-1] - my_losses[-1]) > 1e-7
