@@ -92,15 +92,18 @@ def add_tpu_args(parser: argparse.ArgumentParser):
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="Compute dtype for the encoder.")
-    parser.add_argument("--attn_impl", type=str, default="xla",
+    parser.add_argument("--attn_impl", type=str, default="auto",
                         choices=["xla", "xla_ckpt", "pallas", "fused_block",
                                  "auto"],
-                        help="Attention kernel implementation ('auto' picks "
-                             "XLA below S=1024 and the Pallas long-sequence "
-                             "kernels above, per measured crossover; "
+                        help="Attention kernel implementation. The default "
+                             "'auto' picks XLA below S=1024 (where XLA wins "
+                             "at ViLT's ~280-token regime) and the Pallas "
+                             "long-sequence flash kernels at S>=1024 "
+                             "(1.45-1.76x XLA on v5e — the "
+                             "reallocate_text_image long-text regime); "
                              "'fused_block' is the whole-sublayer Pallas "
                              "kernel — measured 10% slower than XLA at ViLT "
-                             "shapes, see docs/PERF.md).")
+                             "shapes, see docs/PERF.md.")
     parser.add_argument("--mlp_impl", type=str, default="xla",
                         choices=["xla", "pallas"],
                         help="MLP kernel implementation (pallas = fused "

@@ -43,6 +43,13 @@ def build_parser():
                         help="Root of language task data dirs.")
     parser.add_argument("--mean_image_path", type=str, default=None,
                         help="Path to coco_mean_image.png (gray fallback if absent).")
+    parser.add_argument("--max_len_override", type=int, default=0,
+                        help="Override the task config's max_len (tokens). "
+                             "Values > 40 enter the reallocate_text_image "
+                             "long-text regime (reference vilt.py:57-81); at "
+                             ">= ~1008 the total sequence crosses S=1024 "
+                             "where --attn_impl auto switches to the Pallas "
+                             "flash kernels (1.45-1.76x XLA on v5e).")
     add_common_args(parser)
     add_tpu_args(parser)
     return parser
@@ -75,7 +82,7 @@ def main(argv=None):
     prefix = "viltbert" if args.encoder_name == "viltbert" else "vilt"
     model_catog = args.model_catog or (f"{prefix}-l-mc" if is_mc else f"{prefix}-l-seq")
     model_config = model_configs[model_catog]
-    max_len = task_config["max_len"]
+    max_len = args.max_len_override or task_config["max_len"]
     num_labels = task_config["num_labels"]
 
     is_viltbert = args.encoder_name == "viltbert"

@@ -31,10 +31,16 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     Returns True when a multi-process runtime is active (or was already),
     False for single-process runs (init skipped or unnecessary).
     """
+    # Idempotence check that must NOT touch the XLA backend:
+    # jax.process_count() would initialize it, after which
+    # jax.distributed.initialize() refuses to run. The distributed client
+    # state is the one pre-backend signal of an active multi-process runtime.
     try:
-        if jax.process_count() > 1:
-            return True
-    except Exception:
+        from jax._src.distributed import global_state
+
+        if global_state.client is not None:
+            return jax.process_count() > 1
+    except ImportError:  # future jax moved the module: fall through to init
         pass
     if num_processes in (None, 0, 1) and coordinator_address is None:
         import os

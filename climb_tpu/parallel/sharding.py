@@ -29,6 +29,7 @@ FSDP recipe, expressed purely through shardings.
 from typing import Tuple
 
 import jax
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from climb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS, REPLICA_AXIS
@@ -103,9 +104,20 @@ def shard_params(params, mesh, fsdp: bool = False, pp: bool = False):
     """Place a parameter pytree onto the mesh per the TP (+ optional FSDP)
     rules. Optimizer states created later with ``zeros_like`` inherit these
     shardings, completing the ZeRO-3 memory layout. ``pp=True`` applies the
-    pipeline layout (layer-stacked leaves over 'pipe') instead."""
-    return jax.device_put(
-        params, param_sharding_rules(params, mesh, fsdp, pp=pp)
+    pipeline layout (layer-stacked leaves over 'pipe') instead.
+
+    Multi-process: every process passes the SAME host param tree (models are
+    built seed-deterministically per host); each global array is assembled
+    from the full host value via make_array_from_callback, so only this
+    process's addressable shards materialize on its devices."""
+    rules = param_sharding_rules(params, mesh, fsdp, pp=pp)
+    if jax.process_count() <= 1:
+        return jax.device_put(params, rules)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.make_array_from_callback(
+            np.shape(x), s, lambda idx, _x=x: np.asarray(_x)[idx]
+        ),
+        params, rules,
     )
 
 
@@ -123,12 +135,25 @@ def batch_spec(leaf, mesh=None) -> P:
 
 
 def shard_batch(batch, mesh):
-    """Shard every batch leaf's leading axis across the data-parallel axes."""
-    return jax.device_put(
-        batch,
-        jax.tree_util.tree_map(
-            lambda x: NamedSharding(mesh, batch_spec(x, mesh)), batch
+    """Shard every batch leaf's leading axis across the data-parallel axes.
+
+    Multi-process: each process passes its LOCAL batch (the per-host
+    DataLoader stripe, SURVEY section 5.8); the leaves are assembled into
+    global arrays whose addressable shards are this process's devices
+    (global batch = local batch x process_count). Scalar/replicated leaves
+    must be identical across processes."""
+    if jax.process_count() <= 1:
+        return jax.device_put(
+            batch,
+            jax.tree_util.tree_map(
+                lambda x: NamedSharding(mesh, batch_spec(x, mesh)), batch
+            ),
+        )
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, batch_spec(x, mesh)), np.asarray(x)
         ),
+        batch,
     )
 
 

@@ -55,6 +55,31 @@ def test_language_driver_seq_and_mc(tmp_path, task, model_catog):
     assert len(entry) == 3  # (test, dev, best_epoch)
 
 
+def test_language_driver_max_len_override_long_text(tmp_path):
+    """--max_len_override enters the reallocate_text_image long-text regime
+    from the CLI: text position slots tile to a multiple of 40 and the image
+    shrinks to 128x128 (reference train_language.py:80-84). This is the
+    driver path the long-sequence Pallas kernels serve in production
+    (exp_scripts/bench_longseq_language.py measures the hardware A/B)."""
+    from climb_tpu.cli.train_language import main as lang_main
+
+    lang_main([
+        "--encoder_name", "vilt",
+        "--checkpoint_name", "scratch",
+        "--task_name", "sst2",
+        "--climb_data_dir", "/tmp/unused",
+        "--output_dir", str(tmp_path),
+        "--synthetic", "--tiny", "--synthetic_train_size", "16",
+        "--batch_size", "8",
+        "--num_shot", "16", "--subsample_seed", "10",
+        "--max_len_override", "80",  # > 40 -> reallocated
+    ])
+    files = list(tmp_path.glob("*_results.json"))
+    assert len(files) == 1
+    entry = json.loads(files[0].read_text())["nshot-16"]["seed-10"]
+    assert len(entry) == 3
+
+
 @pytest.mark.parametrize("task", ["imagenet", "coco-cls"])
 def test_vision_driver_acc_and_microf1(tmp_path, task):
     from climb_tpu.cli.train_vision import main as vision_main
