@@ -122,3 +122,39 @@ def test_refresh_eval_failure_keeps_old_results(runner, tmp_path,
     out = runner.refresh_eval(record, base, tiny_cpu=True)
     assert out["eval_refresh"]["returncode"] == 1
     assert out["eval_results"] == {"old": True}  # not clobbered
+
+
+def test_make_phase2_table_stages_and_aggregates(tmp_path):
+    """exp_scripts/make_phase2_table.py stages per-driver smoke outputs into
+    the reference results layout (lang_only/, vision_only/, viltbert subdir)
+    and the real make_table aggregation renders every staged task (round-3
+    verdict item 8; reference src/utils/make_table.py:11-44)."""
+    spec = importlib.util.spec_from_file_location(
+        "make_phase2_table",
+        os.path.join(os.path.dirname(RUNNER), "make_phase2_table.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    root = tmp_path / "phase2"
+    (root / "lang_sst2").mkdir(parents=True)
+    (root / "lang_piqa_viltbert").mkdir()
+    (root / "vis_imagenet").mkdir()
+    (root / "lowshot").mkdir()  # not a lang_/vis_ dir: ignored
+    (root / "lang_sst2" / "sst2_scratch_results.json").write_text(
+        json.dumps({"nshot-16": {"seed-10": (80.0, 82.0, 8)}}))
+    (root / "lang_piqa_viltbert" / "piqa_scratch_results.json").write_text(
+        json.dumps({"nshot-16": {"seed-10": (60.0, 61.0, 3)}}))
+    (root / "vis_imagenet" / "imagenet_scratch_results.json").write_text(
+        json.dumps({"nshot-16": {"seed-10": (42.0, 41.0, 6)}}))
+
+    out = tmp_path / "table.json"
+    artifact = mod.main(["--phase2-root", str(root), "--out", str(out)])
+    assert json.loads(out.read_text())["tables"] == artifact["tables"]
+    t = artifact["tables"]
+    # language: backbone-keyed, mean ±std strings; viltbert run lands under
+    # the ViLTBERT backbone via the lang_only/viltbert/ staging subdir
+    assert t["sst2"]["ViLT"]["ViLT"]["task0"]["NA"]["16"] == "80.0 ±0.0"
+    assert t["piqa"]["ViLTBERT"]["ViLTBERT"]["task0"]["NA"]["16"] == "60.0 ±0.0"
+    # vision: single-seed test score, no backbone nesting
+    assert t["imagenet"]["ViLT"]["task0"]["NA"]["16"] == "42.0"
+    assert artifact["vision_tasks"] == ["imagenet"]
