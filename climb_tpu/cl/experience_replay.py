@@ -173,4 +173,8 @@ class ExperienceReplayMemory:
         step = buf.replay_step_fn(model)
         new_params, loss = step(params, batch, rng)
         wandb_logger.log({task_key: {"loss": float(loss)}})
+        # INFO (not just wandb): hardware smoke artifacts grep driver.log to
+        # prove replay steps actually executed (reference train_*.py logs
+        # replay through its epoch loop; our jitted loop logs here)
+        logger.info("replay step on %s: loss=%.4f", task_key, float(loss))
         return new_params

@@ -95,10 +95,15 @@ def driver_argv(algorithm: str, out_dir: str, tiny_cpu: bool,
     ]
     if algorithm == "experience_replay":
         # reference settings (exp_scripts/.../vilt-experience_replay.sh):
-        # 1% memory, replay every 100 steps
+        # 1% memory, replay every 100 steps. The frequency is rescaled for
+        # smoke size: at 512 examples / batch 64 a task is only 80 steps, so
+        # the reference's 100 would mean replay NEVER fires (the step counter
+        # is per-task); 20 preserves the several-fires-per-task ratio the
+        # reference's full-size epochs give, so the hardware run actually
+        # executes replay steps (grep 'replay step' in driver.log).
         argv += ["--memory_percentage", "0.01",
                  "--memory_sampling_strategy", "random",
-                 "--replay_frequency", "100"]
+                 "--replay_frequency", "20"]
     elif algorithm == "adapter":
         # the paper's flagship algorithm — per-task Houlsby adapters at the
         # reference reduction (exp_scripts/.../vilt-adapter_vanilla.sh)
@@ -135,6 +140,10 @@ def parse_log(log_path: str) -> dict:
     tasks, order = {}, []
     with open(log_path, errors="replace") as f:
         for line in f:
+            if "replay step on" in line and order:
+                t = tasks[order[-1]]
+                t["replay_steps"] = t.get("replay_steps", 0) + 1
+                continue
             m = RE_TRAIN_START.search(line)
             if m:
                 key = m.group(3).strip()
