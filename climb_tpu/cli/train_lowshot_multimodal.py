@@ -73,6 +73,9 @@ def lowshot_experiment_name(args) -> str:
 
 
 def main(argv=None):
+    # local shadow so a synthetic-only override can never leak across
+    # in-process invocations (tests call main() repeatedly)
+    task_configs = globals()["task_configs"]
     setup_logging()
     args = build_parser().parse_args(argv)
     args.ordered_cl_tasks = args.ordered_cl_tasks.split(",")
@@ -80,6 +83,15 @@ def main(argv=None):
         args.image_height, args.image_width = 64, 96
     for task_key in args.ordered_cl_tasks:
         assert task_key in SUPPORTED_VL_TASKS
+    if getattr(args, "synthetic", False) and args.synthetic_vqa_labels:
+        # learnable smoke configuration — MUST match the upstream CL driver's
+        # override so the Phase I smoke checkpoints' small VQA head shape
+        # matches here and partial_load transfers it (otherwise the head is
+        # silently kept at init as a shape mismatch)
+        task_configs = {
+            k: dict(v, num_labels=args.synthetic_vqa_labels) if k == "vqa" else v
+            for k, v in task_configs.items()
+        }
 
     output_dir = os.path.join(args.output_dir, lowshot_experiment_name(args))
     results_file = os.path.join(output_dir, "lowshot_results.json")

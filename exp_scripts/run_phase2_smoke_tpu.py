@@ -85,7 +85,10 @@ def collect_results(record: dict, out_dir: str, patterns: tuple) -> None:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "PHASE2_RUN_r03.json"))
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default: PHASE2_RUN_r04.json at the "
+                         "repo root; a --tiny-cpu rehearsal defaults to /tmp "
+                         "so it can never clobber the committed TPU artifact)")
     ap.add_argument("--phase1-out", default="/tmp/climb_cl_smoke_tpu/sequential_ft",
                     help="Phase I output root whose sequential_ft task "
                          "checkpoints seed the low-shot transfer")
@@ -99,6 +102,10 @@ def main():
     if flags.base_out is None:
         flags.base_out = ("/tmp/climb_phase2_smoke_cpu" if flags.tiny_cpu
                           else "/tmp/climb_phase2_smoke_tpu")
+    if flags.out is None:
+        flags.out = ("/tmp/climb_phase2_smoke_cpu/PHASE2_rehearsal.json"
+                     if flags.tiny_cpu
+                     else os.path.join(REPO, "PHASE2_RUN_r04.json"))
     os.makedirs(flags.base_out, exist_ok=True)
 
     env = dict(os.environ)
@@ -111,7 +118,11 @@ def main():
     size = ["--synthetic_train_size", str(flags.synthetic_train_size)]
     tiny = ["--tiny"] if flags.tiny_cpu else []
     common = ["--climb_data_dir", "/tmp/climb_synth", "--synthetic",
-              "--batch_size", "64", "--seed", "42"] + STEP_FLAGS + size + tiny
+              "--batch_size", "64", "--seed", "42",
+              # must match the Phase I smoke runner's learnable-VQA head
+              # shape so the low-shot transfer loads the upstream VQA head
+              # instead of silently keeping a fresh 3,129-way one
+              "--synthetic_vqa_labels", "32"] + STEP_FLAGS + size + tiny
 
     runs = []
 
