@@ -12,64 +12,40 @@ def setup_logging():
     )
 
 
-def _cpu_cache_namespace() -> str:
-    """A fingerprint of this host's CPU, scoped to the current boot.
-
-    XLA:CPU cache entries are ahead-of-time compiled MACHINE CODE: loading
-    an entry produced on a different host can abort or SIGILL at run time.
-    The persistent-cache key does not capture CPU features, so CPU entries
-    must be namespaced. Hashing /proc/cpuinfo flags alone proved
-    INSUFFICIENT: two cloud VMs of the same instance type report identical
-    flags yet one's cached executables SIGABRT on the other (observed across
-    dev-VM reassignments — same 10-char flags hash, entries from the
-    previous VM abort inside pxla __call__ with no diagnostic). The boot id
-    is therefore part of the namespace: a CPU AOT artifact never outlives
-    the boot that produced it. CPU compiles are cheap (tiny test models);
-    the expensive TPU programs stay in the shared, portable root."""
-    import hashlib
-    import platform
-
-    basis = platform.machine()
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    basis += "|" + " ".join(sorted(line.split(":")[1].split()))
-                    break
-    except OSError:
-        basis += "|" + platform.processor()
-    try:
-        with open("/proc/sys/kernel/random/boot_id") as f:
-            basis += "|" + f.read().strip()
-    except OSError:
-        basis += "|" + platform.node()
-    return hashlib.sha256(basis.encode()).hexdigest()[:10]
-
-
 def enable_compilation_cache(cache_dir: str = None):
-    """Persistent XLA compilation cache: the fully-unrolled train step takes
-    ~3 min to compile through the TPU tunnel; caching makes reruns and
-    resumed experiments instant. CPU processes (tests, rehearsals, forced-CPU
-    subprocesses) get a per-microarch subdirectory — see
-    ``_cpu_cache_namespace`` — so a CPU AOT artifact never crosses hosts;
-    TPU programs stay in the shared root."""
+    """Persistent XLA compilation cache — TPU processes only.
+
+    The fully-unrolled train step takes ~3 min to compile through the TPU
+    tunnel; caching makes reruns and resumed experiments instant.
+
+    CPU processes get NO persistent cache. XLA:CPU entries are ahead-of-time
+    compiled MACHINE CODE, and a stale entry aborts the process inside pxla
+    ``__call__`` with no diagnostic when the executing CPU no longer matches
+    the compiling one. Two rounds of namespacing failed to contain this:
+    hashing /proc/cpuinfo flags was defeated by dev-VM reassignments that
+    keep the flags identical, and adding the boot id was defeated by
+    entries that went stale WITHIN one boot (cloud VMs can migrate across
+    physical hosts mid-boot). CPU compiles here are tiny-model cheap
+    (seconds; the in-process jit cache still dedupes within a run), so the
+    robust call is to not persist them at all."""
     import os
 
     import jax
 
-    cache_dir = cache_dir or os.path.expanduser("~/.cache/climb_tpu_xla")
     env_plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
     on_cpu = (
         env_plat == "cpu"
         or getattr(jax.config, "jax_platforms", None) == "cpu"
         # no platform forced AND no axon TPU tunnel registered: jax
         # auto-resolves to the CPU backend, so this process's AOT artifacts
-        # are CPU machine code and must be namespaced too
+        # would be CPU machine code too
         or (not env_plat and not os.environ.get("PALLAS_AXON_POOL_IPS"))
     )
-    if on_cpu:
-        cache_dir = os.path.join(cache_dir, "cpu-" + _cpu_cache_namespace())
     try:
+        if on_cpu:
+            jax.config.update("jax_compilation_cache_dir", None)
+            return
+        cache_dir = cache_dir or os.path.expanduser("~/.cache/climb_tpu_xla")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:  # older jax without the knobs

@@ -51,27 +51,22 @@ def test_resize_dims_portrait():
     assert (w, h) == (384, 512)
 
 
-def test_cpu_cache_namespace_applied():
-    """Forced-CPU processes must namespace the XLA compilation cache per CPU
-    microarch: XLA:CPU entries are AOT machine code, and loading one compiled
-    on a host with different CPU features SIGILLs/aborts. TPU entries stay in
-    the shared root (keyed by the TPU program, not host ISA)."""
+def test_cpu_gets_no_persistent_compilation_cache():
+    """CPU processes must NOT persist XLA compilation-cache entries: XLA:CPU
+    entries are AOT machine code and go stale when the executing CPU stops
+    matching the compiling one — observed to abort inside pxla __call__ even
+    WITHIN one boot (cloud VMs migrate across physical hosts), defeating
+    per-microarch and per-boot namespacing. TPU programs (the expensive
+    tunnel compiles) keep the persistent cache."""
     import jax
 
-    from climb_tpu.cli.common import _cpu_cache_namespace, enable_compilation_cache
-
-    ns = _cpu_cache_namespace()
-    assert len(ns) == 10 and all(c in "0123456789abcdef" for c in ns)
-    assert _cpu_cache_namespace() == ns  # stable within a host
+    from climb_tpu.cli.common import enable_compilation_cache
 
     prev = jax.config.jax_compilation_cache_dir
     try:
+        # conftest forces the CPU platform via jax.config, so the persistent
+        # cache must be disabled regardless of the requested directory.
         enable_compilation_cache("/tmp/climb_cache_ns_test")
-        # conftest forces the CPU platform via jax.config, so the namespace
-        # subdirectory must be applied.
-        assert (
-            jax.config.jax_compilation_cache_dir
-            == "/tmp/climb_cache_ns_test/cpu-" + ns
-        )
+        assert jax.config.jax_compilation_cache_dir is None
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
