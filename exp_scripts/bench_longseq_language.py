@@ -30,6 +30,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# the downstream trainer's epoch line (climb_tpu/train/downstream.py):
+#   epoch 3 dev=55.00 (812.4 ex/s)
 RE_EXS = re.compile(r"epoch (\d+) dev=([\d.]+) \(([\d.]+) ex/s\)")
 
 
@@ -57,6 +59,8 @@ def run_impl(impl: str, flags, out_root: str) -> dict:
         "--scan_unroll", "12",
         "--attn_impl", impl,
     ]
+    if flags.tiny:
+        argv += ["--tiny"]
     t0 = time.time()
     with open(log_path, "w") as logf:
         rc = subprocess.run(argv, cwd=REPO, stdout=logf,
@@ -91,6 +95,9 @@ def main():
                     help="'auto' must match 'pallas' at this S (same HLO -> "
                          "cached compile) — recorded to prove the CLI "
                          "default picks the winner")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU rehearsal: tiny model config (plumbing check; "
+                         "not a performance measurement)")
     flags = ap.parse_args()
 
     out_root = "/tmp/climb_longseq_ab"
