@@ -45,13 +45,16 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "ACCUM_SWEEP_r04.json"))
     ap.add_argument("--iters", type=int, default=3,
                     help="timed iterations per candidate (best-of)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU rehearsal: tiny model + tiny bucket shapes "
+                         "(plumbing check; not a performance measurement)")
     flags = ap.parse_args()
 
     args = SimpleNamespace(
         batch_size=BATCH, seed=0,
         ordered_cl_tasks=["vqa", "nlvr2", "snli-ve", "vcr"],
         encoder_name="vilt", pretrained_model_name="scratch",
-        tiny=False, synthetic=True, compute_dtype="bfloat16",
+        tiny=flags.tiny, synthetic=True, compute_dtype="bfloat16",
         attn_impl="xla", remat=True, remat_policy="selective",
         scan_unroll=12, grad_accum_steps=1,
     )
@@ -75,7 +78,8 @@ def main():
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
     shapes = []
-    for width, text_len, _ in BUCKET_MIX:
+    mix = (((96, 16, 1), (64, 24, 1)) if flags.tiny else BUCKET_MIX)
+    for width, text_len, _ in mix:
         batch = static_batch(cfg, rng, width=width, text_len=text_len)
         swept = tuner.tune(make_cached, state, batch, key)
         rec = tuner.cache[tuner._key(batch)]
