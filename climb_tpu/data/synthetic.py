@@ -134,17 +134,23 @@ class SyntheticVLDataset:
         ex = {}
         if self.model_type == "multi-choice":
             nc = self.num_choices
-            # the correct choice carries marker 2999, the rest 2998 — the
+            # the correct choice carries marker 999, the rest 998 — the
             # multi-choice analog of the label token (choice index itself is
-            # not recoverable from a per-choice forward)
-            markers = [2999 if c == label else 2998 for c in range(nc)] \
+            # not recoverable from a per-choice forward). Markers live BELOW
+            # the random content range [1000,2000) so they fit the tiny test
+            # models' 2048-token vocab: an out-of-vocab id silently becomes
+            # NaN via jnp.take's OOB fill (caught as NaN trajectories in
+            # test_mesh_training_equivalence with the old 2998/2999 ids).
+            markers = [999 if c == label else 998 for c in range(nc)] \
                 if self.learnable else [None] * nc
             ids, masks = zip(*[text(m) for m in markers])
             ex["input_ids"] = np.stack(ids)
             ex["text_mask"] = np.stack(masks)
             ex["token_type_ids"] = np.zeros((nc, L), np.int32)
         else:
-            marker = 2000 + (label % 900) if self.learnable else None
+            # [103, 998): below the content range, above the special ids
+            # (0 pad / 101 CLS / 102 SEP), within every model's vocab
+            marker = 103 + (label % 895) if self.learnable else None
             ids, mask = text(marker)
             ex["input_ids"] = ids
             ex["text_mask"] = mask
