@@ -248,7 +248,11 @@ def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool,
         rc = 0
         for i, task in enumerate(tasks.split(",")):
             one = driver_argv(algorithm, out_dir, tiny_cpu, encoder, task)
-            rc = rc or run_driver(one, log_path, tiny_cpu, append=i > 0)
+            # append from the very first invocation too when a prior
+            # (preempted/restarted) leg left a log — otherwise the restart's
+            # first per-task run clobbers the earlier tasks' telemetry
+            rc = rc or run_driver(one, log_path, tiny_cpu,
+                                  append=i > 0 or os.path.exists(log_path))
     else:
         argv = driver_argv(algorithm, out_dir, tiny_cpu, encoder, tasks)
         # append when a prior (e.g. preempted) invocation's log exists, so a
