@@ -238,6 +238,19 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                              "head off 0.0, so smoke runs use a learnable "
                              "size to exercise the soft-score metric "
                              "end-to-end.")
+    parser.add_argument("--synthetic_vision_labels", type=int, default=0,
+                        help="With --synthetic, shrink a vision task's label "
+                             "space to this many classes (0 = keep the real "
+                             "count) so smoke-scale runs can clear their "
+                             "chance baselines — the vision analog of "
+                             "--synthetic_vqa_labels.")
+    parser.add_argument("--synthetic_noise", type=float, default=0.0,
+                        help="With --synthetic, fraction of examples whose "
+                             "learnable signal encodes a random WRONG class "
+                             "(targets stay true). Bayes-optimal dev score "
+                             "becomes (1-p)+p/C instead of 100, so smoke-run "
+                             "forgetting/transfer matrices are non-degenerate "
+                             "and CL algorithms separate.")
     parser.add_argument("--tiny", action="store_true",
                         help="Tiny model config (fast CI / smoke runs).")
     parser.add_argument("--profile_dir", type=str, default=None,

@@ -63,6 +63,12 @@ def main(argv=None):
 
     task_config = task_configs[args.task_name]
     num_labels = task_config["num_labels"]
+    if getattr(args, "synthetic", False) and args.synthetic_vision_labels:
+        # same rationale as --synthetic_vqa_labels: a few hundred synthetic
+        # examples cannot move a 1000-way (imagenet) head off 0.0 from random
+        # init — smoke runs shrink the label space so the drivers demonstrably
+        # clear their chance baselines (r04 verdict item 3)
+        num_labels = args.synthetic_vision_labels
     is_multilabel = args.task_name == "coco-cls"
     # coco-cls uses a percentage; others integer shots (train_vision.py:62-63)
     n_shot = args.num_shot if is_multilabel else (int(args.num_shot) if args.num_shot else None)

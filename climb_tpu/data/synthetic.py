@@ -35,6 +35,7 @@ class SyntheticVLDataset:
         soft_targets: bool = False,
         seed: int = 0,
         learnable: bool = True,
+        label_noise: float = 0.0,
     ):
         self.size = size
         self.num_labels = num_labels
@@ -52,6 +53,25 @@ class SyntheticVLDataset:
         rng = np.random.RandomState(seed)
         n_classes = num_choices if model_type == "multi-choice" else num_labels
         self.labels = rng.randint(0, max(n_classes, 1), size=(size,))
+        # Difficulty knob: with probability ``label_noise`` an example's
+        # learnable SIGNAL (marker token / image stamp / multi-choice marker
+        # placement) encodes a random OTHER class while the training target
+        # keeps the true label. The Bayes-optimal dev score is then
+        # (1-p) + p/C instead of 100.0 — at p=0.3 per-task ceilings land in
+        # the ~70-85 band, so forgetting/transfer matrices are non-degenerate
+        # and CL algorithms can actually separate (round-4 verdict item 2:
+        # at p=0 every task saturates at 100.0 by epoch 2 and sequential_ft,
+        # ER, and EWC are indistinguishable).
+        self.label_noise = float(label_noise)
+        self.signal_labels = self.labels.copy()
+        if self.label_noise > 0 and n_classes > 1:
+            nrng = np.random.RandomState(seed * 31337 + 7)
+            flip = nrng.random_sample(size) < self.label_noise
+            # draw a wrong class uniformly: shift by 1..C-1 mod C
+            shift = nrng.randint(1, n_classes, size=size)
+            self.signal_labels = np.where(
+                flip, (self.labels + shift) % n_classes, self.labels
+            )
         # Generation is deterministic per index, so items are memoized after
         # first materialization: on the 1-core dev/smoke VM the ~40ms/example
         # canvas synthesis dominates multi-epoch driver runs otherwise
@@ -112,6 +132,7 @@ class SyntheticVLDataset:
             return dict(hit)
         rng = np.random.RandomState(self.seed * 100003 + i)
         label = int(self.labels[i])
+        signal = int(self.signal_labels[i])  # == label unless noise flipped it
         L = self.text_len
         text_lens = iter(self._text_lens(i))
 
@@ -122,10 +143,17 @@ class SyntheticVLDataset:
             ids[1:n] = rng.randint(1000, 2000, size=(n - 1,))
             if marker is not None:
                 # learnable signal: a label-dependent token outside the random
-                # content range [1000,2000), so a model can fit the data via a
-                # single embedding lookup (integration tests + hardware smoke
-                # runs assert scores clear the random baseline)
-                ids[1] = marker
+                # content range [1000,2000), so a model can fit the data via an
+                # embedding lookup (integration tests + hardware smoke runs
+                # assert scores clear the random baseline). The marker repeats
+                # at every other content position: from RANDOM init (zero
+                # egress — smoke runs have no pretrained weights) a single
+                # token among 40 is too weak for many-way discrimination in a
+                # ~80-step task (r04 hardware VQA sat at ~5 for 10 epochs);
+                # repetition makes the pooled representation strongly
+                # label-dependent even through random layers, while the
+                # label_noise knob still caps the Bayes ceiling.
+                ids[1:n - 1:2] = marker
             ids[n - 1] = 102
             mask = np.zeros((L,), np.float32)
             mask[:n] = 1.0
@@ -141,7 +169,7 @@ class SyntheticVLDataset:
             # models' 2048-token vocab: an out-of-vocab id silently becomes
             # NaN via jnp.take's OOB fill (caught as NaN trajectories in
             # test_mesh_training_equivalence with the old 2998/2999 ids).
-            markers = [999 if c == label else 998 for c in range(nc)] \
+            markers = [999 if c == signal else 998 for c in range(nc)] \
                 if self.learnable else [None] * nc
             ids, masks = zip(*[text(m) for m in markers])
             ex["input_ids"] = np.stack(ids)
@@ -150,7 +178,7 @@ class SyntheticVLDataset:
         else:
             # [103, 998): below the content range, above the special ids
             # (0 pad / 101 CLS / 102 SEP), within every model's vocab
-            marker = 103 + (label % 895) if self.learnable else None
+            marker = 103 + (signal % 895) if self.learnable else None
             ids, mask = text(marker)
             ex["input_ids"] = ids
             ex["text_mask"] = mask
@@ -158,11 +186,11 @@ class SyntheticVLDataset:
 
         phws = self._patch_hws(i)
         if self.num_images == 2:
-            imgs, phws2 = zip(*[self._image(rng, label, phws[j]) for j in range(2)])
+            imgs, phws2 = zip(*[self._image(rng, signal, phws[j]) for j in range(2)])
             ex["pixel_values"] = np.stack(imgs)
             ex["patch_hw"] = np.stack(phws2)
         else:
-            img, phw = self._image(rng, label, phws[0])
+            img, phw = self._image(rng, signal, phws[0])
             ex["pixel_values"] = img
             ex["patch_hw"] = phw
 
@@ -213,14 +241,16 @@ class SyntheticTextDataset:
     def __len__(self):
         return self.size
 
-    def _text(self, rng, label):
+    def _text(self, rng, marker):
         L = self.max_len
         n = rng.randint(4, L)
         ids = np.zeros((L,), np.int32)
         ids[0] = 101
-        # label-dependent token so models can fit the data
-        ids[1] = 1000 + label
         ids[2 : n - 1] = rng.randint(1010, 2000, size=(max(n - 3, 0),))
+        # label-dependent token, repeated so the pooled representation is
+        # strongly label-dependent even through randomly-initialized layers
+        # (smoke runs have no pretrained weights)
+        ids[1 : n - 1 : 2] = marker
         ids[n - 1] = 102
         mask = np.zeros((L,), np.float32)
         mask[:n] = 1.0
@@ -230,14 +260,20 @@ class SyntheticTextDataset:
         rng = np.random.RandomState(self.seed * 999983 + i)
         label = int(self.labels[i])
         if self.model_type == "multi-choice":
-            ids, masks = zip(*[self._text(rng, label) for _ in range(self.num_choices)])
+            # Per-choice markers (correct=999, wrong=998, the VL convention):
+            # the per-choice forward scores each choice independently, so a
+            # label-index token shared by every choice carries NO
+            # discriminative signal — the pre-r05 scheme made multi-choice
+            # language tasks unlearnable (PHASE2_RUN_r03 PIQA sat at chance).
+            ids, masks = zip(*[self._text(rng, 999 if c == label else 998)
+                               for c in range(self.num_choices)])
             return {
                 "input_ids": np.stack(ids),
                 "text_mask": np.stack(masks),
                 "token_type_ids": np.zeros((self.num_choices, self.max_len), np.int32),
                 "labels": np.int32(label),
             }
-        ids, mask = self._text(rng, label)
+        ids, mask = self._text(rng, 103 + (label % 895))
         return {
             "input_ids": ids,
             "text_mask": mask,
@@ -267,7 +303,7 @@ class SubsetDataset:
         return np.asarray(self.base.text_lengths())[self.indices]
 
 
-def make_synthetic_vl_dataset(task_key: str, task_cfg: dict, split: str, size: int, text_len: int = 40, canvas_hw=(384, 640), seed: int = 0):
+def make_synthetic_vl_dataset(task_key: str, task_cfg: dict, split: str, size: int, text_len: int = 40, canvas_hw=(384, 640), seed: int = 0, label_noise: float = 0.0):
     """Synthetic stand-in for a real VL task dataset, shaped by its config."""
     split_seed = {"train": 0, "val": 1, "dev": 1, "test": 2}.get(split, 3)
     return SyntheticVLDataset(
@@ -280,4 +316,5 @@ def make_synthetic_vl_dataset(task_key: str, task_cfg: dict, split: str, size: i
         canvas_hw=canvas_hw,
         soft_targets=(task_key == "vqa"),
         seed=seed * 17 + split_seed,
+        label_noise=label_noise,
     )

@@ -108,11 +108,14 @@ class VLTaskTrainer(TaskTrainer):
                 getattr(args, "image_width", 640),
             )
             text_len = getattr(args, "max_text_len", 40)
+            noise = getattr(args, "synthetic_noise", 0.0)
             self.train_dataset = make_synthetic_vl_dataset(
-                self.task_key, self.task_cfg, "train", size, text_len, canvas, args.seed
+                self.task_key, self.task_cfg, "train", size, text_len, canvas, args.seed,
+                label_noise=noise,
             )
             self.eval_dataset = make_synthetic_vl_dataset(
-                self.task_key, self.task_cfg, "val", max(8, size // 4), text_len, canvas, args.seed
+                self.task_key, self.task_cfg, "val", max(8, size // 4), text_len, canvas, args.seed,
+                label_noise=noise,
             )
         else:
             from climb_tpu.data.visionlanguage import build_vl_datasets

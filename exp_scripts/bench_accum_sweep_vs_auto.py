@@ -13,7 +13,7 @@ faster pick than 'auto' on some chip, 'auto''s constant needs re-measuring
 there (recipe in docs/PERF.md).
 
 Run on the real TPU (chip otherwise idle — timings are contention-sensitive):
-  python exp_scripts/bench_accum_sweep_vs_auto.py [--out ACCUM_SWEEP_r04.json]
+  python exp_scripts/bench_accum_sweep_vs_auto.py [--out ACCUM_SWEEP_r05.json]
 """
 
 import argparse
@@ -42,7 +42,7 @@ from climb_tpu.train.train_step import (  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "ACCUM_SWEEP_r04.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "ACCUM_SWEEP_r05.json"))
     ap.add_argument("--iters", type=int, default=3,
                     help="timed iterations per candidate (best-of)")
     ap.add_argument("--tiny", action="store_true",

@@ -16,7 +16,7 @@ per-epoch ex/s is device-bound) once per attention impl and records which
 wins — the A/B artifact the round-3 verdict asked for (item 5).
 
 Usage (real TPU): python exp_scripts/bench_longseq_language.py
-  [--out LONGSEQ_r04.json] [--max-len 1040] [--batch-size 16] [--impls ...]
+  [--out LONGSEQ_r05.json] [--max-len 1040] [--batch-size 16] [--impls ...]
 """
 
 import argparse
@@ -86,7 +86,7 @@ def run_impl(impl: str, flags, out_root: str) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "LONGSEQ_r04.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "LONGSEQ_r05.json"))
     ap.add_argument("--max-len", type=int, default=1040, dest="max_len",
                     help="text tokens (26x the 40-slot table; S = max_len+17)")
     ap.add_argument("--batch-size", type=int, default=16, dest="batch_size")

@@ -25,16 +25,19 @@ Synthetic data is LEARNABLE (label-dependent token + image stamp) and the VQA
 label space shrinks to 32 answers (--synthetic_vqa_labels): 512 synthetic
 examples cannot move a 3,129-way head off 0.0, and per-task scores must clear
 the random baselines for the forgetting/transfer numbers to be
-non-degenerate (round-3 verdict items 1-2, 4).
+non-degenerate (round-3 verdict items 1-2, 4). Since r05 the signal carries
+30% label noise (--synthetic_noise 0.3): Bayes-optimal dev scores land in
+the ~70-85 band instead of saturating at 100.0 by epoch 2, so sequential_ft
+vs ER vs EWC produce DIFFERENT forgetting matrices (round-4 verdict item 2).
 
 Usage (on the real TPU; ~1-1.5h per algorithm on a cold compile cache,
 ~20-40 min warm):
-  python exp_scripts/run_cl_smoke_tpu.py [--out CL_RUN_r04.json] [--tiny-cpu]
+  python exp_scripts/run_cl_smoke_tpu.py [--out CL_RUN_r05.json] [--tiny-cpu]
       [--algorithms sequential_ft,experience_replay,adapter,ewc]
       [--encoder vilt|viltbert] [--tasks vqa,nlvr2,...]
 
 Re-invocations MERGE into an existing artifact: records are keyed on
-(encoder, algorithm), so each hardware run extends CL_RUN_r03.json rather
+(encoder, algorithm), so each hardware run extends the round artifact rather
 than clobbering it.
 
 --tiny-cpu runs the identical flow on the 8-device CPU platform with the tiny
@@ -92,6 +95,9 @@ def driver_argv(algorithm: str, out_dir: str, tiny_cpu: bool,
         "--synthetic_train_size", "512",
         # learnable VQA smoke config: 512 examples over 32 answers (16/label)
         "--synthetic_vqa_labels", "32",
+        # difficulty: Bayes ceiling (1-p)+p/C per task — nlvr2 85 / snli-ve 80
+        # / vcr 77.5 / vqa ~71 — so CL algorithms separate (r04 verdict item 2)
+        "--synthetic_noise", "0.3",
     ]
     if algorithm == "experience_replay":
         # reference settings (exp_scripts/.../vilt-experience_replay.sh):
@@ -232,12 +238,20 @@ def collect_results(record: dict, out_dir: str):
 
 
 def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool,
-                  encoder: str = "vilt", tasks: str = TASKS) -> dict:
+                  encoder: str = "vilt", tasks: str = TASKS,
+                  prior_rc=None) -> dict:
     out_dir = out_dir_for(algorithm, base_out, encoder)
     os.makedirs(out_dir, exist_ok=True)
     if algorithm != "singletask_ft":
         link_singletask_results(out_dir, base_out, encoder)
     log_path = os.path.join(out_dir, "driver.log")
+    # A stale log is only APPENDED to when the prior invocation was preempted
+    # (resume case: the original telemetry must stay parseable). If the prior
+    # recorded run SUCCEEDED (rc=0), this is an intentional full re-run —
+    # rotate the old log so parse_log can't carry stale tasks' telemetry into
+    # the new record (advisor r04 finding).
+    if prior_rc == 0 and os.path.exists(log_path):
+        os.replace(log_path, log_path + ".prev")
 
     cache_before = cache_file_count()
     t0 = time.time()
@@ -367,14 +381,13 @@ def main():
                          "the compile ladder small for the slower encoder)")
     flags = ap.parse_args()
     if flags.base_out is None:
-        # r04 root: the learnable-data + 32-label-VQA config is not
-        # checkpoint-compatible with the r03 runs, so resume state must not
-        # cross rounds
-        flags.base_out = ("/tmp/climb_cl_smoke_cpu_r04" if flags.tiny_cpu
-                          else "/tmp/climb_cl_smoke_tpu_r04")
+        # r05 root: the noisy-signal config (synthetic_noise 0.3) changes the
+        # data — resume state and results must not cross rounds
+        flags.base_out = ("/tmp/climb_cl_smoke_cpu_r05" if flags.tiny_cpu
+                          else "/tmp/climb_cl_smoke_tpu_r05")
     if flags.out is None:
-        flags.out = ("/tmp/climb_cl_smoke_cpu_r04/CL_RUN_rehearsal.json"
-                     if flags.tiny_cpu else os.path.join(REPO, "CL_RUN_r04.json"))
+        flags.out = ("/tmp/climb_cl_smoke_cpu_r05/CL_RUN_rehearsal.json"
+                     if flags.tiny_cpu else os.path.join(REPO, "CL_RUN_r05.json"))
         os.makedirs(os.path.dirname(flags.out), exist_ok=True)
 
     import platform
@@ -392,6 +405,7 @@ def main():
             "batch_size": 64,
             "synthetic_train_size": 128 if flags.tiny_cpu else 512,
             "synthetic_vqa_labels": 32, "learnable_synthetic": True,
+            "synthetic_noise": 0.3,
             "compute_dtype": "bfloat16", "remat": "selective",
             "scan_unroll": 12, "grad_accum_steps": "auto",
             "aspect_buckets": "384,640", "text_buckets": "24,40",
@@ -402,10 +416,15 @@ def main():
     # accumulate into an existing artifact: re-running one (encoder, algorithm)
     # replaces its record, new combinations append after the existing ones
     rerun = {(flags.encoder, a) for a in flags.algorithms.split(",")}
+    prior_rcs = {}
     if os.path.exists(flags.out):
         with open(flags.out) as f:
             prior = json.load(f)
         if prior.get("platform") == results["platform"]:
+            prior_rcs = {
+                (r.get("encoder", "vilt"), r["algorithm"]): r.get("returncode")
+                for r in prior.get("runs", [])
+            }
             results["runs"] = [
                 r for r in prior.get("runs", [])
                 if (r.get("encoder", "vilt"), r["algorithm"]) not in rerun
@@ -413,7 +432,8 @@ def main():
     for algorithm in [a for a in flags.algorithms.split(",") if a]:
         print(f"=== {flags.encoder}-{algorithm} ===", flush=True)
         rec = run_algorithm(algorithm, flags.base_out, flags.tiny_cpu,
-                            flags.encoder, flags.tasks)
+                            flags.encoder, flags.tasks,
+                            prior_rc=prior_rcs.get((flags.encoder, algorithm)))
         results["runs"].append(rec)
         ok = rec["returncode"] == 0 and ("eval_results" in rec
                                          or algorithm == "singletask_ft")
@@ -431,6 +451,15 @@ def main():
             if not match:
                 print(f"refresh-{mode}: no recorded run for "
                       f"{flags.encoder}-{algorithm}", file=sys.stderr)
+                continue
+            if match[0].get("returncode") != 0:
+                # never stamp transfer numbers onto a failed/killed run — the
+                # artifact would look partially validated for a run that
+                # never finished (advisor r04 finding: the committed r04 ER
+                # record briefly carried transfer_refreshed=true at rc=-9)
+                print(f"refresh-{mode}: SKIPPING {flags.encoder}-{algorithm} "
+                      f"(returncode={match[0].get('returncode')}) — re-run "
+                      f"the algorithm first", file=sys.stderr)
                 continue
             print(f"=== refresh-{mode} {flags.encoder}-{algorithm} ===",
                   flush=True)

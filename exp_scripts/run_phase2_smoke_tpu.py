@@ -86,10 +86,11 @@ def collect_results(record: dict, out_dir: str, patterns: tuple) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None,
-                    help="artifact path (default: PHASE2_RUN_r04.json at the "
+                    help="artifact path (default: PHASE2_RUN_r05.json at the "
                          "repo root; a --tiny-cpu rehearsal defaults to /tmp "
                          "so it can never clobber the committed TPU artifact)")
-    ap.add_argument("--phase1-out", default="/tmp/climb_cl_smoke_tpu/sequential_ft",
+    ap.add_argument("--phase1-out",
+                    default="/tmp/climb_cl_smoke_tpu_r05/sequential_ft",
                     help="Phase I output root whose sequential_ft task "
                          "checkpoints seed the low-shot transfer")
     ap.add_argument("--base-out", default=None)
@@ -100,12 +101,12 @@ def main():
     flags = ap.parse_args()
     skip = set(filter(None, flags.skip.split(",")))
     if flags.base_out is None:
-        flags.base_out = ("/tmp/climb_phase2_smoke_cpu" if flags.tiny_cpu
-                          else "/tmp/climb_phase2_smoke_tpu")
+        flags.base_out = ("/tmp/climb_phase2_smoke_cpu_r05" if flags.tiny_cpu
+                          else "/tmp/climb_phase2_smoke_tpu_r05")
     if flags.out is None:
-        flags.out = ("/tmp/climb_phase2_smoke_cpu/PHASE2_rehearsal.json"
+        flags.out = ("/tmp/climb_phase2_smoke_cpu_r05/PHASE2_rehearsal.json"
                      if flags.tiny_cpu
-                     else os.path.join(REPO, "PHASE2_RUN_r04.json"))
+                     else os.path.join(REPO, "PHASE2_RUN_r05.json"))
     os.makedirs(flags.base_out, exist_ok=True)
 
     env = dict(os.environ)
@@ -122,7 +123,11 @@ def main():
               # must match the Phase I smoke runner's learnable-VQA head
               # shape so the low-shot transfer loads the upstream VQA head
               # instead of silently keeping a fresh 3,129-way one
-              "--synthetic_vqa_labels", "32"] + STEP_FLAGS + size + tiny
+              "--synthetic_vqa_labels", "32",
+              # vision analog: 1000-way imagenet / 80-way coco-cls cannot
+              # clear chance from random init at smoke scale (r03 cells read
+              # 0.0) — shrink so every Phase II cell beats its baseline
+              "--synthetic_vision_labels", "16"] + STEP_FLAGS + size + tiny
 
     runs = []
 
@@ -136,7 +141,8 @@ def main():
                      "climb_tpu.cli.train_upstream_continual_learning",
                      "--encoder_name", "vilt", "--pretrained_model_name", "scratch",
                      "--ordered_cl_tasks", TASKS, "--cl_algorithm", "sequential_ft",
-                     "--output_dir", phase1, "--do_train"] + common,
+                     "--output_dir", phase1, "--do_train",
+                     "--synthetic_noise", "0.3"] + common,
                     env=env, cwd=REPO, check=True,
                     stdout=logf, stderr=subprocess.STDOUT)
         exp = f"vilt-sequential_ft-" + "-".join(
@@ -152,6 +158,9 @@ def main():
              "--encoder_name", "vilt", "--pretrained_model_name", "scratch",
              "--ordered_cl_tasks", TASKS, "--cl_algorithm", "sequential_ft",
              "--output_dir", phase1,
+             # the Phase I r05 checkpoints were trained at this noise level —
+             # the low-shot data keeps the same statistics
+             "--synthetic_noise", "0.3",
              "--aspect_buckets", "384,640", "--text_buckets", "24,40"] + common,
             os.path.join(flags.base_out, "lowshot.log"), env)
         collect_results(rec, os.path.join(phase1, exp), ("lowshot_results.json",))
