@@ -227,6 +227,14 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                              "synchronous; writes are tmp+rename atomic). "
                              "Use with --save_state_epochs.")
     parser.add_argument("--max_text_len", type=int, default=40)
+    parser.add_argument("--tokenizer", type=str, default="bert-base-uncased",
+                        help="Tokenizer spec for real (non---synthetic) data: "
+                             "an HF name (needs a local HF cache — this is "
+                             "also a vocab-file path fallback) or 'synthetic'.")
+    parser.add_argument("--vocab_path", type=str, default=None,
+                        help="Explicit WordPiece vocab.txt path — takes "
+                             "precedence over --tokenizer; served by the "
+                             "native C++ tokenizer when built.")
     # Hermetic/testing extensions
     parser.add_argument("--synthetic", action="store_true",
                         help="Use synthetic in-memory datasets (no real data needed).")
@@ -238,6 +246,14 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                              "head off 0.0, so smoke runs use a learnable "
                              "size to exercise the soft-score metric "
                              "end-to-end.")
+    parser.add_argument("--task_config_overrides", type=str, default="",
+                        help="Comma list of task.key=value hyperparameter "
+                             "overrides applied to the in-memory task "
+                             "configs, e.g. 'vqa.lr=4e-4,vqa.num_epochs=20'. "
+                             "Smoke runs use this to rescale per-task "
+                             "optimization to the synthetic step budget "
+                             "(values are parsed as int/float when they look "
+                             "like one).")
     parser.add_argument("--synthetic_vision_labels", type=int, default=0,
                         help="With --synthetic, shrink a vision task's label "
                              "space to this many classes (0 = keep the real "
@@ -264,3 +280,27 @@ def add_tpu_args(parser: argparse.ArgumentParser):
     parser.add_argument("--eval_every_epoch", action="store_true",
                         help="Eval every epoch instead of the reference's "
                              "epoch>5-and-even gate (useful for short runs).")
+
+
+def apply_task_config_overrides(task_configs: dict, spec: str) -> dict:
+    """Apply a ``--task_config_overrides`` spec ('task.key=value,...') to a
+    COPY of the task-config registry; numeric-looking values parse to
+    int/float. Unknown task keys raise (typos must not silently no-op)."""
+    if not spec:
+        return task_configs
+    out = {k: dict(v) for k, v in task_configs.items()}
+    for item in spec.split(","):
+        path, _, raw = item.partition("=")
+        task, _, key = path.strip().partition(".")
+        if task not in out or not key or not raw:
+            raise ValueError(f"bad --task_config_overrides item {item!r} "
+                             f"(expected task.key=value with a known task)")
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                val = raw
+        out[task][key] = val
+    return out

@@ -22,6 +22,7 @@ import os
 from climb_tpu.cli.common import (
     add_common_args,
     add_tpu_args,
+    apply_task_config_overrides,
     enable_compilation_cache,
     setup_logging,
 )
@@ -168,6 +169,8 @@ def main(argv=None):
             k: dict(v, num_labels=args.synthetic_vqa_labels) if k == "vqa" else v
             for k, v in task_configs.items()
         }
+    task_configs = apply_task_config_overrides(
+        task_configs, getattr(args, "task_config_overrides", ""))
 
     experiment_name = experiment_name_for(args)
     output_dir = os.path.join(args.output_dir, experiment_name)

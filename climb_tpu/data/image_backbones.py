@@ -101,7 +101,12 @@ class MSCOCOImagesDataset(CanvasImageProvider):
                 image_id = int(base.replace(".jpg", ""))
             except ValueError:
                 continue
-            self.imageid2filename[image_id] = os.path.join(self.images_dir, base)
+            # index by the REAL filename (COCO files are named
+            # 'COCO_<split>2014_<12-digit-id>.jpg') — joining the stripped
+            # basename instead pointed every id at a nonexistent path, which
+            # the reference-parity black-canvas fallback then silently
+            # swallowed (caught by the real-data driver test)
+            self.imageid2filename[image_id] = os.path.join(self.images_dir, fn)
         self.imageids = list(self.imageid2filename.keys())
         logger.info("MSCOCO images: %d files", len(self.imageids))
 

@@ -167,7 +167,8 @@ from climb_tpu.data.cache import (  # noqa: E402
 
 class VQADataset(VLDatasetBase):
     def __init__(self, data_dir: str, images_dataset: MSCOCOImagesDataset, split: str,
-                 tokenizer=None, max_text_len: int = 40, canvas_hw=(384, 640), **kw):
+                 tokenizer=None, max_text_len: int = 40, canvas_hw=(384, 640),
+                 num_labels=None, **kw):
         super().__init__(tokenizer or load_tokenizer(), max_text_len, canvas_hw)
         self.data_dir = data_dir
         self.images_dataset = images_dataset
@@ -176,7 +177,13 @@ class VQADataset(VLDatasetBase):
         with open(os.path.join(data_dir, "ans2label.pkl"), "rb") as f:
             self.ans2label = pickle.load(f)
         self.label2ans = {v: k for k, v in self.ans2label.items()}
-        self.num_labels = len(self.ans2label)
+        # Target-vector width follows the TASK CONFIG (reference
+        # target_tensor(num_labels,...) sizes by task_configs['vqa']
+        # ['num_labels'], train_vqa.py:157 + vqa_utils.py:48-53) so the
+        # emitted targets always match the model head; with the full
+        # 3,129-answer ans2label the two coincide, with a smaller map
+        # (mini fixtures) len(ans2label) would NOT.
+        self.num_labels = num_labels or len(self.ans2label)
 
         cache = os.path.join(data_dir, "cached_vqa_data", f"vqa_{split}.pkl")
         self.data = _load_cache(cache)
@@ -481,8 +488,10 @@ def build_vl_datasets(args, task_key: str, task_cfg: dict):
         images = MSCOCOImagesDataset(os.path.join(root, "ms-coco/"), canvas,
                                      visual_input_type=vit)
         return (
-            VQADataset(data_dir, images, "train", tok, max_len, canvas),
-            VQADataset(data_dir, images, "val", tok, max_len, canvas),
+            VQADataset(data_dir, images, "train", tok, max_len, canvas,
+                       num_labels=task_cfg["num_labels"]),
+            VQADataset(data_dir, images, "val", tok, max_len, canvas,
+                       num_labels=task_cfg["num_labels"]),
         )
     if task_key == "nlvr2":
         return (
