@@ -6,7 +6,7 @@ driver outputs. This renders the committed artifact into the same shape a
 reader of the paper expects: one row per (encoder, algorithm) with per-task
 best scores + relative transfer gains, plus a forgetting matrix per run.
 
-Usage: python exp_scripts/render_cl_run.py [CL_RUN_r04.json] [--out docs/RESULTS_r04.md]
+Usage: python exp_scripts/render_cl_run.py [CL_RUN_r05.json] [--out docs/RESULTS_r05.md]
 """
 
 import argparse
@@ -114,7 +114,7 @@ def render(artifact: dict) -> str:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("artifact", nargs="?",
-                    default=os.path.join(REPO, "CL_RUN_r04.json"))
+                    default=os.path.join(REPO, "CL_RUN_r05.json"))
     ap.add_argument("--out", default=None,
                     help="output .md path (default: stdout)")
     flags = ap.parse_args(argv)

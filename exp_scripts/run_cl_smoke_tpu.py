@@ -89,8 +89,12 @@ def driver_argv(algorithm: str, out_dir: str, tiny_cpu: bool,
         # compile on the cold cache)
         "--aspect_buckets", "384,640",
         "--text_buckets", "24,40",
-        # elastic checkpointing with the background writer (I/O overlap)
-        "--save_state_epochs", "1",
+        # elastic checkpointing with the background writer (I/O overlap).
+        # Every 5 epochs (not 1): the full-state snapshot is ~1.3GB through
+        # this VM's ~20MB/s host memory — per-epoch saves dominated epoch
+        # wall-clock (~2.4 min/epoch, mostly checkpoint). Mid-epoch elastic
+        # resume itself was already witnessed live on hardware in r03.
+        "--save_state_epochs", "5",
         "--async_checkpoint",
         "--synthetic_train_size", "512",
         # learnable VQA smoke config: 512 examples over 16 answers (32/label).
@@ -101,10 +105,15 @@ def driver_argv(algorithm: str, out_dir: str, tiny_cpu: bool,
         # difficulty: Bayes ceiling (1-p)+p/C per task — nlvr2 85 / snli-ve 80
         # / vcr 77.5 / vqa ~72 — so CL algorithms separate (r04 verdict item 2)
         "--synthetic_noise", "0.3",
-        # vqa_bce from random init needs a higher peak LR than the reference's
-        # pretrained fine-tune to move in 80 steps (same calibration); CE
-        # tasks keep their exact reference hyperparameters
-        "--task_config_overrides", "vqa.lr=4e-4",
+        # Per-task step-budget calibration (r05, measured on chip + mid-size
+        # CPU ladder): vqa_bce from random init needs a higher peak LR and a
+        # 160-step budget to move (80 steps @4e-4 peaked at 17 on chip; the
+        # mid-size ladder gives 13->42->62 at 80/120/160 steps); nlvr2/vcr
+        # saturate at their noise ceilings by epoch ~3, so their tails fund
+        # the VQA budget at ~neutral leg wall-clock. CE losses/heads and all
+        # other hyperparameters keep exact reference values.
+        "--task_config_overrides",
+        "vqa.lr=4e-4,vqa.num_epochs=20,nlvr2.num_epochs=6,vcr.num_epochs=6",
     ]
     if algorithm == "experience_replay":
         # reference settings (exp_scripts/.../vilt-experience_replay.sh):
@@ -412,11 +421,13 @@ def main():
             "batch_size": 64,
             "synthetic_train_size": 128 if flags.tiny_cpu else 512,
             "synthetic_vqa_labels": 16, "learnable_synthetic": True,
-            "synthetic_noise": 0.3, "task_config_overrides": "vqa.lr=4e-4",
+            "synthetic_noise": 0.3,
+            "task_config_overrides": "vqa.lr=4e-4,vqa.num_epochs=20,"
+                                     "nlvr2.num_epochs=6,vcr.num_epochs=6",
             "compute_dtype": "bfloat16", "remat": "selective",
             "scan_unroll": 12, "grad_accum_steps": "auto",
             "aspect_buckets": "384,640", "text_buckets": "24,40",
-            "save_state_epochs": 1, "async_checkpoint": True,
+            "save_state_epochs": 5, "async_checkpoint": True,
         },
         "runs": [],
     }

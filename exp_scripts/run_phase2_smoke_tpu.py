@@ -124,7 +124,8 @@ def main():
               # shape so the low-shot transfer loads the upstream VQA head
               # instead of silently keeping a fresh 3,129-way one
               "--synthetic_vqa_labels", "16",
-              "--task_config_overrides", "vqa.lr=4e-4",
+              "--task_config_overrides",
+              "vqa.lr=4e-4,vqa.num_epochs=20,nlvr2.num_epochs=6,vcr.num_epochs=6",
               # vision analog: 1000-way imagenet / 80-way coco-cls cannot
               # clear chance from random init at smoke scale (r03 cells read
               # 0.0) — shrink so every Phase II cell beats its baseline
