@@ -22,13 +22,15 @@ Writes CL_RUN_r04.json at the repo root:
   population delta (files added to the persistent XLA cache).
 
 Synthetic data is LEARNABLE (label-dependent token + image stamp) and the VQA
-label space shrinks to 32 answers (--synthetic_vqa_labels): 512 synthetic
+label space shrinks to 16 answers (--synthetic_vqa_labels): 512 synthetic
 examples cannot move a 3,129-way head off 0.0, and per-task scores must clear
 the random baselines for the forgetting/transfer numbers to be
 non-degenerate (round-3 verdict items 1-2, 4). Since r05 the signal carries
 30% label noise (--synthetic_noise 0.3): Bayes-optimal dev scores land in
 the ~70-85 band instead of saturating at 100.0 by epoch 2, so sequential_ft
-vs ER vs EWC produce DIFFERENT forgetting matrices (round-4 verdict item 2).
+vs ER vs EWC produce DIFFERENT forgetting matrices (round-4 verdict item 2);
+per-task step budgets are calibrated via --task_config_overrides (see
+driver_argv).
 
 Usage (on the real TPU; ~1-1.5h per algorithm on a cold compile cache,
 ~20-40 min warm):
