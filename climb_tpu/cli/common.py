@@ -264,7 +264,7 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         help="With --synthetic, fraction of examples whose "
                              "learnable signal encodes a random WRONG class "
                              "(targets stay true). Bayes-optimal dev score "
-                             "becomes (1-p)+p/C instead of 100, so smoke-run "
+                             "becomes 1-p instead of 100, so smoke-run "
                              "forgetting/transfer matrices are non-degenerate "
                              "and CL algorithms separate.")
     parser.add_argument("--tiny", action="store_true",

@@ -56,12 +56,13 @@ class SyntheticVLDataset:
         # Difficulty knob: with probability ``label_noise`` an example's
         # learnable SIGNAL (marker token / image stamp / multi-choice marker
         # placement) encodes a random OTHER class while the training target
-        # keeps the true label. The Bayes-optimal dev score is then
-        # (1-p) + p/C instead of 100.0 — at p=0.3 per-task ceilings land in
-        # the ~70-85 band, so forgetting/transfer matrices are non-degenerate
-        # and CL algorithms can actually separate (round-4 verdict item 2:
-        # at p=0 every task saturates at 100.0 by epoch 2 and sequential_ft,
-        # ER, and EWC are indistinguishable).
+        # keeps the true label. A signal-following predictor is wrong on
+        # exactly the flipped examples, so the Bayes-optimal dev accuracy is
+        # 1-p instead of 100.0 — at p=0.3 every task ceilings at 70, so
+        # forgetting/transfer matrices are non-degenerate and CL algorithms
+        # can actually separate (round-4 verdict item 2: at p=0 every task
+        # saturates at 100.0 by epoch 2 and sequential_ft, ER, and EWC are
+        # indistinguishable).
         self.label_noise = float(label_noise)
         self.signal_labels = self.labels.copy()
         if self.label_noise > 0 and n_classes > 1:

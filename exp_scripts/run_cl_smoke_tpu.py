@@ -102,10 +102,11 @@ def driver_argv(algorithm: str, out_dir: str, tiny_cpu: bool,
         # learnable VQA smoke config: 512 examples over 16 answers (32/label).
         # 16 (not 32): the 80-step budget from RANDOM init cannot fit a wider
         # soft-target space — mid-size CPU calibration (r05): 32-way sat at
-        # ~6-13 while 16-way reaches ~64 (Bayes ceiling ~71 at noise 0.3)
+        # ~6-13 while 16-way reaches ~64 (Bayes ceiling 70 at noise 0.3)
         "--synthetic_vqa_labels", "16",
-        # difficulty: Bayes ceiling (1-p)+p/C per task — nlvr2 85 / snli-ve 80
-        # / vcr 77.5 / vqa ~72 — so CL algorithms separate (r04 verdict item 2)
+        # difficulty: flipped signals are always a WRONG class, so the Bayes
+        # ceiling is 1-p = 70 for every task — no task can saturate, and CL
+        # algorithms separate (r04 verdict item 2)
         "--synthetic_noise", "0.3",
         # Per-task step-budget calibration (r05, measured on chip + mid-size
         # CPU ladder): vqa_bce from random init needs a higher peak LR and a
