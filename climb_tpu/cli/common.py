@@ -295,6 +295,11 @@ def apply_task_config_overrides(task_configs: dict, spec: str) -> dict:
         if task not in out or not key or not raw:
             raise ValueError(f"bad --task_config_overrides item {item!r} "
                              f"(expected task.key=value with a known task)")
+        if key not in out[task]:
+            raise ValueError(
+                f"--task_config_overrides: {task!r} has no hyperparameter "
+                f"{key!r} (known: {sorted(out[task])}) — a typo here would "
+                f"silently run at default values")
         try:
             val = int(raw)
         except ValueError:

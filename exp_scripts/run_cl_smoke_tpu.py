@@ -266,11 +266,17 @@ def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool,
     log_path = os.path.join(out_dir, "driver.log")
     # A stale log is only APPENDED to when the prior invocation was preempted
     # (resume case: the original telemetry must stay parseable). If the prior
-    # recorded run SUCCEEDED (rc=0), this is an intentional full re-run —
-    # rotate the old log so parse_log can't carry stale tasks' telemetry into
-    # the new record (advisor r04 finding).
+    # recorded run SUCCEEDED (rc=0), rotate the old log into an accumulating
+    # .prev archive (advisor r04: a --tasks-subset re-run must not clobber)
+    # — but the .prev telemetry is still PARSED and overlaid by the fresh
+    # log's, because a re-invocation whose tasks resume via checkpoints
+    # re-logs nothing, and the merged record's results.json still reports
+    # those tasks (r05 review finding: replace-and-forget dropped all
+    # per-epoch telemetry from re-run records).
     if prior_rc == 0 and os.path.exists(log_path):
-        os.replace(log_path, log_path + ".prev")
+        with open(log_path + ".prev", "a") as dst, open(log_path) as src:
+            dst.write(src.read())
+        os.remove(log_path)
 
     cache_before = cache_file_count()
     t0 = time.time()
@@ -295,6 +301,11 @@ def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool,
     wall = time.time() - t0
     cache_after = cache_file_count()
 
+    task_telemetry = {}
+    if os.path.exists(log_path + ".prev"):
+        task_telemetry = parse_log(log_path + ".prev")
+    if os.path.exists(log_path):
+        task_telemetry.update(parse_log(log_path))
     record = {
         "algorithm": algorithm,
         "encoder": encoder,
@@ -302,7 +313,7 @@ def run_algorithm(algorithm: str, base_out: str, tiny_cpu: bool,
         "returncode": rc,
         "wall_clock_s": round(wall, 1),
         "compile_cache_files_added": cache_after - cache_before,
-        "tasks": parse_log(log_path),
+        "tasks": task_telemetry,
         "log": log_path,
     }
     collect_results(record, out_dir)

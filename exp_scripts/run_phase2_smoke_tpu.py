@@ -124,8 +124,12 @@ def main():
               # shape so the low-shot transfer loads the upstream VQA head
               # instead of silently keeping a fresh 3,129-way one
               "--synthetic_vqa_labels", "16",
-              "--task_config_overrides",
-              "vqa.lr=4e-4,vqa.num_epochs=20,nlvr2.num_epochs=6,vcr.num_epochs=6",
+              # NOTE: the Phase I step-budget overrides (vqa.num_epochs=20
+              # etc.) are deliberately NOT passed to the lowshot driver: the
+              # low-shot trainers gate eval on fixed low_shot_config
+              # eval_epochs, so a changed num_epochs only wastes (or starves)
+              # unevaluated epochs. Checkpoint compatibility needs only the
+              # head shape (--synthetic_vqa_labels above).
               # vision analog: 1000-way imagenet / 80-way coco-cls cannot
               # clear chance from random init at smoke scale (r03 cells read
               # 0.0) — shrink so every Phase II cell beats its baseline
@@ -144,7 +148,12 @@ def main():
                      "--encoder_name", "vilt", "--pretrained_model_name", "scratch",
                      "--ordered_cl_tasks", TASKS, "--cl_algorithm", "sequential_ft",
                      "--output_dir", phase1, "--do_train",
-                     "--synthetic_noise", "0.3"] + common,
+                     "--synthetic_noise", "0.3",
+                     # the rehearsal's Phase I run mirrors the Phase I smoke
+                     # runner's calibrated budgets
+                     "--task_config_overrides",
+                     "vqa.lr=4e-4,vqa.num_epochs=20,"
+                     "nlvr2.num_epochs=6,vcr.num_epochs=6"] + common,
                     env=env, cwd=REPO, check=True,
                     stdout=logf, stderr=subprocess.STDOUT)
         exp = f"vilt-sequential_ft-" + "-".join(

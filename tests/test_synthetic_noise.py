@@ -1,8 +1,10 @@
 """The r05 synthetic difficulty knob and signal-strength fixes.
 
 These guard the calibration the hardware smoke benchmarks depend on:
-label_noise caps the Bayes-optimal dev score at (1-p)+p/C so CL algorithms
-separate; repeated markers make the signal learnable from random init; the
+label_noise caps the Bayes-optimal dev score at 1-p (flips always encode a
+WRONG class, so a signal-following predictor misses exactly the flipped
+fraction) so CL algorithms separate; repeated markers make the signal
+learnable from random init; the
 multi-choice text scheme must carry PER-CHOICE markers (a shared label-index
 token is invisible to a per-choice forward).
 """
@@ -99,3 +101,5 @@ def test_task_config_overrides_parse_and_validate():
         apply_task_config_overrides(base, "nope.lr=1")
     with pytest.raises(ValueError):
         apply_task_config_overrides(base, "vqa.lr")
+    with pytest.raises(ValueError):  # typoed hyperparameter must not no-op
+        apply_task_config_overrides(base, "vqa.num_epoch=20")
