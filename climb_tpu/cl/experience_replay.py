@@ -127,11 +127,20 @@ class TaskMemoryBuffer:
             self._replay_step_key = key
         if self._replay_step is None:
             trainer = self.task_trainer
+            # The reference's fresh-per-step replay optimizer is a plain
+            # torch AdamW at the CONSTANT task lr — no scheduler is ever
+            # attached (experience_replay.py:61). warmup_ratio must be 0
+            # here: a fresh optax chain with the warmup schedule takes its
+            # single step at count 0 where warmup lr == 0, silently turning
+            # every replay step into a parameter NO-OP (caught in r05 by
+            # bit-identical sequential-vs-ER task checkpoints on hardware;
+            # the r03/r04 ER runs executed replay forwards but never moved
+            # parameters).
             tx = make_optimizer(
                 model.params,
                 lr=trainer.lr,
                 total_steps=trainer.max_steps,
-                warmup_ratio=trainer.warmup_ratio,
+                warmup_ratio=0.0,
                 weight_decay=trainer.weight_decay,
                 adam_epsilon=trainer.adam_epsilon,
                 trainable_mask=model.trainable_mask,
