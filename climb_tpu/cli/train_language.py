@@ -15,6 +15,7 @@ import os
 from climb_tpu.cli.common import (
     add_common_args,
     add_tpu_args,
+    apply_task_config_overrides,
     enable_compilation_cache,
     setup_logging,
 )
@@ -77,7 +78,8 @@ def main(argv=None):
     )
     from climb_tpu.train.model_factory import load_encoder_params, vilt_config_from_args
 
-    task_config = task_configs[args.task_name]
+    task_config = apply_task_config_overrides(
+        task_configs, getattr(args, "task_config_overrides", ""))[args.task_name]
     is_mc = args.task_name in MC_TASKS
     prefix = "viltbert" if args.encoder_name == "viltbert" else "vilt"
     model_catog = args.model_catog or (f"{prefix}-l-mc" if is_mc else f"{prefix}-l-seq")

@@ -14,6 +14,7 @@ import os
 from climb_tpu.cli.common import (
     add_common_args,
     add_tpu_args,
+    apply_task_config_overrides,
     enable_compilation_cache,
     setup_logging,
 )
@@ -61,7 +62,8 @@ def main(argv=None):
     )
     from climb_tpu.train.model_factory import load_encoder_params, vilt_config_from_args
 
-    task_config = task_configs[args.task_name]
+    task_config = apply_task_config_overrides(
+        task_configs, getattr(args, "task_config_overrides", ""))[args.task_name]
     num_labels = task_config["num_labels"]
     if getattr(args, "synthetic", False) and args.synthetic_vision_labels:
         # same rationale as --synthetic_vqa_labels: a few hundred synthetic

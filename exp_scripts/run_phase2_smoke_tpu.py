@@ -97,6 +97,14 @@ def main():
     ap.add_argument("--tiny-cpu", action="store_true",
                     help="rehearse the identical flow on the CPU mesh")
     ap.add_argument("--skip", default="", help="comma list: lowshot,language,vision")
+    ap.add_argument("--vision-tasks", default="imagenet:16,coco-cls:25",
+                    help="comma list of vision task:num_shot pairs (coco-cls "
+                         "shot is a train-set PERCENTAGE; 25%% of the smoke "
+                         "set = 64 examples — 10%% = 25 examples cannot move "
+                         "a 16-way multi-hot head off micro-F1 0)")
+    ap.add_argument("--task-config-overrides", default="",
+                    help="forwarded to the language/vision drivers (e.g. "
+                         "'coco-cls.num_epochs=40' for the smoke step budget)")
     ap.add_argument("--synthetic-train-size", type=int, default=256)
     flags = ap.parse_args()
     skip = set(filter(None, flags.skip.split(",")))
@@ -134,6 +142,8 @@ def main():
               # clear chance from random init at smoke scale (r03 cells read
               # 0.0) — shrink so every Phase II cell beats its baseline
               "--synthetic_vision_labels", "16"] + STEP_FLAGS + size + tiny
+    if flags.task_config_overrides:
+        common += ["--task_config_overrides", flags.task_config_overrides]
 
     runs = []
 
@@ -195,7 +205,8 @@ def main():
             print(f"    rc={rec['returncode']} wall={rec['wall_clock_s']}s", flush=True)
 
     if "vision" not in skip:
-        for task, shot in (("imagenet", "16"), ("coco-cls", "10")):
+        vtasks = [tuple(it.split(":")) for it in flags.vision_tasks.split(",") if it]
+        for task, shot in vtasks:
             print(f"=== vision {task} ===", flush=True)
             out_dir = os.path.join(flags.base_out, f"vis_{task}")
             rec = run_driver(
@@ -223,6 +234,16 @@ def main():
                    "step_flags": " ".join(STEP_FLAGS)},
         "runs": runs,
     }
+    # merge into an existing artifact (same platform): records key on driver
+    # name, so a partial re-run (e.g. --skip lowshot,language) replaces only
+    # its own legs instead of clobbering the whole evidence file
+    if os.path.exists(flags.out):
+        with open(flags.out) as f:
+            prior = json.load(f)
+        if prior.get("platform") == results["platform"]:
+            fresh = {r["driver"] for r in runs}
+            results["runs"] = [r for r in prior.get("runs", [])
+                               if r["driver"] not in fresh] + runs
     with open(flags.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {flags.out}")
