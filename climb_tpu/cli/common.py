@@ -72,11 +72,13 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         choices=["xla", "xla_ckpt", "pallas", "fused_block",
                                  "auto"],
                         help="Attention kernel implementation. The default "
-                             "'auto' picks XLA below S=1024 (where XLA wins "
-                             "at ViLT's ~280-token regime) and the Pallas "
-                             "long-sequence flash kernels at S>=1024 "
-                             "(1.45-1.76x XLA on v5e — the "
-                             "reallocate_text_image long-text regime); "
+                             "'auto' picks XLA below S=2048 and the Pallas "
+                             "long-sequence flash kernels at S>=2048 (1.47-"
+                             "1.76x XLA on v5e microbench; the end-to-end "
+                             "language-driver A/B at S=1057 measured XLA "
+                             "1.65x pallas under remat, LONGSEQ_r05.json, "
+                             "so the production crossover sits higher than "
+                             "the kernel microbench's S~1024); "
                              "'fused_block' is the whole-sublayer Pallas "
                              "kernel — measured 10% slower than XLA at ViLT "
                              "shapes, see docs/PERF.md.")

@@ -48,7 +48,7 @@ def build_parser():
                         help="Override the task config's max_len (tokens). "
                              "Values > 40 enter the reallocate_text_image "
                              "long-text regime (reference vilt.py:57-81); at "
-                             ">= ~1008 the total sequence crosses S=1024 "
+                             ">= ~1992 the total sequence crosses S=2048 "
                              "where --attn_impl auto switches to the Pallas "
                              "flash kernels (1.45-1.76x XLA on v5e).")
     add_common_args(parser)

@@ -58,14 +58,22 @@ def multi_head_attention(q, k, v, bias=None, impl: str = "xla"):
     - 'xla_ckpt'   — einsum with S^2 intermediates recomputed in backward
     - 'pallas'     — fused whole-sequence-in-VMEM Pallas kernel (itself
                      switching to the KV-blocked flash kernel at long S)
-    - 'auto'       — measured crossover: XLA below S=1024 (wins at ViLT's
-                     ~280-token regime), Pallas at S>=1024 on TPU
-                     (1.45-1.76x XLA, docs/PARITY.md perf notes)
+    - 'auto'       — measured crossover: XLA below S=2048, Pallas flash at
+                     S>=2048 on TPU. The kernel microbench crossover sits at
+                     S~1024 (whole-seq kernel 1.45x XLA), but the END-TO-END
+                     language-driver A/B at S=1057 (LONGSEQ_r05.json: full
+                     train step, bf16, selective remat, batch 16) measured
+                     XLA 92.5 ex/s vs pallas 55.9 — under remat + the full
+                     block the flash kernel's recompute/backward overhead
+                     eats the forward win at that scale. At S>=2048 the
+                     KV-blocked flash margin is decisive in the microbench
+                     (1.47x, 1.76x at 4096), so the production threshold is
+                     set there.
     """
     if impl == "auto":
         impl = (
             "pallas"
-            if q.shape[1] >= 1024 and jax.default_backend() == "tpu"
+            if q.shape[1] >= 2048 and jax.default_backend() == "tpu"
             else "xla"
         )
     if impl == "pallas":

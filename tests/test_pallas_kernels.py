@@ -125,8 +125,10 @@ def test_blocked_backward_matches_xla(rng, monkeypatch):
 
 
 def test_attn_impl_auto_matches_xla_short_seq():
-    """'auto' must resolve to the XLA path below the S=1024 crossover (and
-    on non-TPU backends), matching it exactly."""
+    """'auto' must resolve to the XLA path below the S=2048 production
+    crossover (and on non-TPU backends), matching it exactly. (r05: the
+    end-to-end crossover sits at 2048, not the kernel microbench's 1024 —
+    LONGSEQ_r05.json.)"""
     import numpy as np
 
     import jax.numpy as jnp
